@@ -1,0 +1,687 @@
+"""HTML -> pre-order node-table parser.
+
+A pragmatic WHATWG-HTML5 tree builder on top of the stdlib tokenizer
+(``html.parser.HTMLParser``), producing the columnar per-document "node
+table" the CETD dataflow consumes: parallel arrays in pre-order document
+order (kind, tag, attrs, text, parent, subtree_end) rooted at ``<body>``.
+
+The reference implementation parses with html5ever (spec-compliant error
+recovery); no spec parser exists in this environment, so this module
+implements the subset of the tree-construction algorithm that determines
+body-subtree shape on real-world pages:
+
+* implicit <html>/<head>/<body>; head-only elements dropped (only the
+  body subtree is observable by the extraction dataflow);
+* implied end tags (p closed by block starts; li/dd/dt; option/optgroup;
+  headings; generate-implied-end-tags on explicit closes);
+* the "any other end tag" algorithm with the SPECIAL-category abort;
+* </p> with no open p inserting an empty p; </br> acting as <br>;
+* rawtext elements (script/style/xmp/iframe/noembed/noframes/noscript)
+  and RCDATA (title/textarea, entity-decoded);
+* void elements; self-closing honored only in foreign content;
+* table synthesis (implied tbody/tr/colgroup) and foster parenting of
+  non-table content out of table contexts;
+* foreign content (svg/math) with HTML breakout tags and integration
+  points;
+* input preprocessing: CRLF/CR -> LF, NUL stripped from character data;
+* text-node coalescing (one text node per run, like html5ever).
+
+Parity is validated against the reference's own golden fixtures (node
+counts, densest-node identity, extraction output) in tests/.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+from html.parser import HTMLParser
+
+__all__ = ["parse_html", "Document", "KIND_ELEMENT", "KIND_TEXT"]
+
+KIND_ELEMENT = 0
+KIND_TEXT = 1
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont bgsound br col embed frame hr img input keygen "
+    "link meta param source track wbr".split()
+)
+
+# Elements dropped while no body content has started (head phase).
+_HEAD_ONLY = frozenset(
+    "head base basefont bgsound link meta title style script noscript "
+    "template html".split()
+)
+
+# Start tags that close an open <p> in button scope (spec "in body").
+_P_CLOSERS = frozenset(
+    "address article aside blockquote center details dialog dir div dl "
+    "fieldset figcaption figure footer form header hgroup main menu nav "
+    "ol p section summary ul h1 h2 h3 h4 h5 h6 pre listing hr xmp "
+    "plaintext".split()
+)
+
+_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+# The spec's "special" category (abort set for the any-other-end-tag loop).
+_SPECIAL = frozenset(
+    "address applet area article aside base basefont bgsound blockquote "
+    "body br button caption center col colgroup dd details dir div dl dt "
+    "embed fieldset figcaption figure footer form frame frameset h1 h2 h3 "
+    "h4 h5 h6 head header hgroup hr html iframe img input keygen li link "
+    "listing main marquee menu meta nav noembed noframes noscript object "
+    "ol p param plaintext pre script section select source style summary "
+    "table tbody td template textarea tfoot th thead title tr track ul "
+    "wbr xmp".split()
+)
+
+_DEFAULT_SCOPE_STOP = frozenset(
+    "applet caption html table td th marquee object template".split()
+)
+
+_TABLE_CONTEXT = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
+
+# Block-level end tags with the close-if-in-scope rule.
+_BLOCK_END = frozenset(
+    "address article aside blockquote button center details dialog dir "
+    "div dl fieldset figcaption figure footer header hgroup listing main "
+    "menu nav ol pre section summary ul".split()
+)
+
+# HTML breakout tags inside foreign (svg/math) content.
+_FOREIGN_BREAKOUT = frozenset(
+    "b big blockquote body br center code dd div dl dt em embed h1 h2 h3 "
+    "h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s "
+    "small span strong strike sub sup table tt u ul var".split()
+)
+
+# Foreign elements whose children are parsed as HTML again.
+_HTML_INTEGRATION = frozenset(("foreignobject", "desc", "title", "annotation-xml"))
+
+_TABLE_PART_START = frozenset(
+    "caption col colgroup tbody td tfoot th thead tr".split()
+)
+
+# Open-element depth cap (Blink uses 512): beyond it, new elements are
+# inserted but not pushed, so pathological nesting (<div> x 500k, seen in
+# broken/adversarial crawl pages) stays O(n) instead of O(n^2) stack scans.
+_MAX_DEPTH = 512
+
+
+class Document:
+    """Columnar DOM body subtree in pre-order document order.
+
+    Node 0 is always <body>. Text nodes have tag '' and a str in text.
+    """
+
+    __slots__ = ("kind", "tag", "attrs", "text", "parent", "subtree_end")
+
+    def __init__(self, kind, tag, attrs, text, parent, subtree_end):
+        self.kind = kind  # list[int]
+        self.tag = tag  # list[str]
+        self.attrs = attrs  # list[dict | None]
+        self.text = text  # list[str | None]
+        self.parent = parent  # list[int], -1 for body
+        self.subtree_end = subtree_end  # list[int]
+
+    def __len__(self) -> int:
+        return len(self.kind)
+
+
+class _TreeBuilder(HTMLParser):
+    # Rawtext/RCDATA elements: stdlib only knows script/style; html5ever
+    # (scripting on) additionally treats these as text-only content.
+    CDATA_CONTENT_ELEMENTS = (
+        "script",
+        "style",
+        "xmp",
+        "iframe",
+        "noembed",
+        "noframes",
+        "noscript",
+        "textarea",
+        "title",
+    )
+    _RCDATA = frozenset(("textarea", "title"))
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        # node storage: parallel build arrays, children adjacency
+        self.n_tag: list = [None]  # None marks a text node
+        self.n_attrs: list = [None]
+        self.n_text: list = [None]
+        self.n_children: list = [[]]
+        self.n_parent: list = [-1]
+        self.n_tag[0] = "body"
+        self.n_attrs[0] = {}
+        self.n_text[0] = None
+        # open-element stack: (node_idx, tag, content_is_foreign)
+        self.stack: list = [(0, "body", False)]
+        self.in_body = False
+        self.quirks = True  # no doctype => quirks mode
+        self.table_depth = 0
+        self.form_open = False
+        self._strip_nl = False
+
+    # ---- node helpers -------------------------------------------------
+
+    def _new_node(self, tag, attrs, text) -> int:
+        idx = len(self.n_tag)
+        self.n_tag.append(tag)
+        self.n_attrs.append(attrs)
+        self.n_text.append(text)
+        self.n_children.append([])
+        self.n_parent.append(-1)
+        return idx
+
+    def _append_child(self, parent: int, child: int) -> None:
+        self.n_children[parent].append(child)
+        self.n_parent[child] = parent
+
+    def _cur(self) -> int:
+        return self.stack[-1][0]
+
+    def _cur_tag(self) -> str:
+        return self.stack[-1][1]
+
+    def _cur_foreign(self) -> bool:
+        return self.stack[-1][2]
+
+    def _pop(self):
+        entry = self.stack.pop()
+        if entry[1] == "table":
+            self.table_depth -= 1
+        return entry
+
+    def _push(self, idx: int, tag: str, foreign: bool) -> None:
+        self.stack.append((idx, tag, foreign))
+        if tag == "table":
+            self.table_depth += 1
+
+    # ---- scope / implied end tags --------------------------------------
+
+    def _has_in_scope(self, tag: str, extra=()) -> bool:
+        for idx, t, foreign in reversed(self.stack):
+            if t == tag:
+                return True
+            if t in _DEFAULT_SCOPE_STOP or t in extra:
+                return False
+            if foreign and t in _HTML_INTEGRATION:
+                return False
+        return False
+
+    def _has_in_table_scope(self, tag: str) -> bool:
+        for _idx, t, _f in reversed(self.stack):
+            if t == tag:
+                return True
+            if t in ("html", "table", "template"):
+                return False
+        return False
+
+    _IMPLIED = frozenset(
+        ("dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc")
+    )
+
+    def _generate_implied_end_tags(self, exclude: str | None = None) -> None:
+        while len(self.stack) > 1:
+            t = self._cur_tag()
+            if t in self._IMPLIED and t != exclude:
+                self._pop()
+            else:
+                return
+
+    def _close_p(self) -> None:
+        self._generate_implied_end_tags(exclude="p")
+        while len(self.stack) > 1:
+            if self._pop()[1] == "p":
+                return
+
+    def _pop_through(self, tag: str) -> None:
+        while len(self.stack) > 1:
+            if self._pop()[1] == tag:
+                return
+
+    # ---- insertion (with foster parenting) -----------------------------
+
+    def _foster_target(self):
+        """Return (parent, index) to insert before the innermost table."""
+        for idx, t, _f in reversed(self.stack):
+            if t == "table":
+                parent = self.n_parent[idx]
+                if parent < 0:
+                    return idx, len(self.n_children[idx])
+                return parent, self.n_children[parent].index(idx)
+        return self._cur(), len(self.n_children[self._cur()])
+
+    def _insert_text(self, data: str) -> None:
+        if not data:
+            return
+        cur_tag = self._cur_tag()
+        if (
+            self.table_depth > 0
+            and cur_tag in _TABLE_CONTEXT
+            and not self._cur_foreign()
+        ):
+            if data.strip("\t\n\x0c\r ") == "":
+                parent = self._cur()
+                kids = self.n_children[parent]
+                if kids and self.n_tag[kids[-1]] is None:
+                    self.n_text[kids[-1]] += data
+                else:
+                    self._append_child(parent, self._new_node(None, None, data))
+                return
+            # Non-whitespace: foster-parent before the table.
+            parent, pos = self._foster_target()
+            kids = self.n_children[parent]
+            if pos > 0 and self.n_tag[kids[pos - 1]] is None:
+                self.n_text[kids[pos - 1]] += data
+                return
+            child = self._new_node(None, None, data)
+            kids.insert(pos, child)
+            self.n_parent[child] = parent
+            return
+        parent = self._cur()
+        kids = self.n_children[parent]
+        if kids and self.n_tag[kids[-1]] is None:
+            self.n_text[kids[-1]] += data
+        else:
+            self._append_child(parent, self._new_node(None, None, data))
+
+    def _insert_element(self, tag, attrs, push, foreign=False) -> int:
+        cur_tag = self._cur_tag()
+        if (
+            self.table_depth > 0
+            and cur_tag in _TABLE_CONTEXT
+            and not self._cur_foreign()
+            and tag not in _TABLE_PART_START
+            and tag not in ("table", "style", "script", "template", "form")
+            and not (tag == "input" and _attr_hidden(attrs))
+        ):
+            parent, pos = self._foster_target()
+            idx = self._new_node(tag, attrs, None)
+            self.n_children[parent].insert(pos, idx)
+            self.n_parent[idx] = parent
+        else:
+            idx = self._new_node(tag, attrs, None)
+            self._append_child(self._cur(), idx)
+        if push and len(self.stack) < _MAX_DEPTH:
+            child_foreign = foreign and tag not in _HTML_INTEGRATION
+            self._push(idx, tag, child_foreign)
+        return idx
+
+    # ---- tokenizer callbacks -------------------------------------------
+
+    def handle_decl(self, decl: str) -> None:
+        d = decl.strip().lower()
+        if d.startswith("doctype"):
+            name = d[7:].strip()
+            # html5 doctype and most public doctypes with system ids are
+            # no-quirks; absent doctype stays quirks. Good enough for the
+            # table-closes-p decision this flag feeds.
+            if name == "html" or "//w3c//dtd" in name and "system" not in name:
+                self.quirks = "transitional//en\"" in name and '"http' not in name
+            if name == "html":
+                self.quirks = False
+            elif name.startswith("html public"):
+                self.quirks = False
+
+    def handle_data(self, data: str) -> None:
+        if self._strip_nl:
+            self._strip_nl = False
+            if data.startswith("\n"):
+                data = data[1:]
+        if "\x00" in data:
+            data = data.replace("\x00", "")
+        if not data:
+            return
+        cdata = self.cdata_elem  # set by stdlib tokenizer while in rawtext
+        if cdata in self._RCDATA:
+            data = _htmllib.unescape(data)
+        if not self.in_body:
+            stripped = data.lstrip("\t\n\x0c\r ")
+            if not stripped or self.cdata_elem is not None:
+                return  # whitespace before body / head rawtext payload
+            self.in_body = True
+            data = stripped
+        self._insert_text(data)
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        # Self-closing flag: honored in foreign content, ignored for HTML
+        # elements (they stay open per spec) except voids.
+        if self._cur_foreign() and tag not in _FOREIGN_BREAKOUT:
+            if not self.in_body:
+                self.in_body = True
+            lattrs = _attrs_dict(attrs)
+            self._insert_element(tag, lattrs, push=False)
+            return
+        self.handle_starttag(tag, attrs)
+
+    def handle_starttag(self, tag, attrs) -> None:
+        self._strip_nl = False
+        if not self.in_body:
+            if tag in _HEAD_ONLY or tag in ("frameset", "frame"):
+                return
+            if tag == "body":
+                self.in_body = True
+                return
+            self.in_body = True
+            # fall through and process as the first body token
+
+        if self._cur_foreign():
+            if tag in _FOREIGN_BREAKOUT or (
+                tag == "font" and _has_font_breakout_attr(attrs)
+            ):
+                while len(self.stack) > 1 and self._cur_foreign():
+                    self._pop()
+            else:
+                self._insert_element(
+                    tag, _attrs_dict(attrs), push=True, foreign=True
+                )
+                return
+
+        a = _attrs_dict(attrs)
+
+        if tag in ("svg", "math"):
+            idx = self._new_node(tag, a, None)
+            self._append_child(self._cur(), idx)
+            if len(self.stack) < _MAX_DEPTH:
+                self._push(idx, tag, True)
+            return
+
+        if tag in _TABLE_PART_START or tag in ("head", "frame", "frameset"):
+            if self.table_depth > 0 and tag in _TABLE_PART_START:
+                self._table_part_start(tag, a)
+            # stray table parts / head / frameset in body: ignored
+            return
+
+        if tag == "table":
+            if self.table_depth > 0 and self._cur_tag() in _TABLE_CONTEXT:
+                # <table> in table: acts as </table> then reprocess
+                self._end_table()
+            if not self.quirks and self._has_in_scope("p", extra=("button",)):
+                self._close_p()
+            self._insert_element(tag, a, push=True)
+            return
+
+        if tag in _P_CLOSERS:
+            if self._has_in_scope("p", extra=("button",)):
+                self._close_p()
+            if tag in _HEADINGS and self._cur_tag() in _HEADINGS:
+                self._pop()
+            if tag == "form":
+                if self.form_open:
+                    return
+                self.form_open = True
+            push = tag not in VOID_ELEMENTS  # hr is void
+            self._insert_element(tag, a, push=push)
+            if tag in ("pre", "listing"):
+                self._strip_nl = True
+            if tag == "plaintext":
+                # Everything after <plaintext> is raw text.
+                self.set_cdata_mode("plaintext")
+            return
+
+        if tag in ("li", "dd", "dt"):
+            closers = ("li",) if tag == "li" else ("dd", "dt")
+            for _idx, t, _f in reversed(self.stack):
+                if t in closers:
+                    self._generate_implied_end_tags(exclude=t)
+                    self._pop_through(t)
+                    break
+                if t in _SPECIAL and t not in ("address", "div", "p"):
+                    break
+            if self._has_in_scope("p", extra=("button",)):
+                self._close_p()
+            self._insert_element(tag, a, push=True)
+            return
+
+        if tag == "a":
+            # Approximation of the adoption agency: a new <a> ends any
+            # open <a>; if it is not the current node, unstack it without
+            # closing the elements nested inside it.
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i][1]
+                if t == "a":
+                    del self.stack[i]
+                    break
+                if t in _DEFAULT_SCOPE_STOP:
+                    break
+            self._insert_element(tag, a, push=True)
+            return
+
+        if tag == "button":
+            if self._has_in_scope("button"):
+                self._generate_implied_end_tags()
+                self._pop_through("button")
+            self._insert_element(tag, a, push=True)
+            return
+
+        if tag == "option":
+            if self._cur_tag() == "option":
+                self._pop()
+            self._insert_element(tag, a, push=True)
+            return
+        if tag == "optgroup":
+            if self._cur_tag() == "option":
+                self._pop()
+            if self._cur_tag() == "optgroup":
+                self._pop()
+            self._insert_element(tag, a, push=True)
+            return
+
+        if tag == "select":
+            if self._has_in_scope("select"):
+                self._pop_through("select")
+                return
+            self._insert_element(tag, a, push=True)
+            return
+
+        if tag in ("input", "keygen", "textarea") and self._has_in_scope("select"):
+            self._pop_through("select")
+
+        if tag == "image":
+            tag = "img"
+
+        if tag in VOID_ELEMENTS:
+            self._insert_element(tag, a, push=False)
+            return
+
+        if tag == "body" or tag == "html":
+            return
+
+        self._insert_element(tag, a, push=True)
+        if tag == "textarea":
+            self._strip_nl = True
+
+    def _table_part_start(self, tag: str, attrs) -> None:
+        stop_row = ("tr", "tbody", "thead", "tfoot", "table", "body")
+        if tag == "tr":
+            while self._cur_tag() not in ("tbody", "thead", "tfoot", "table", "body"):
+                if len(self.stack) == 1:
+                    break
+                self._pop()
+            if self._cur_tag() == "table":
+                self._insert_element("tbody", {}, push=True)
+            self._insert_element("tr", attrs, push=True)
+            return
+        if tag in ("td", "th"):
+            while self._cur_tag() not in stop_row:
+                if len(self.stack) == 1:
+                    break
+                self._pop()
+            if self._cur_tag() != "tr":
+                if self._cur_tag() == "table":
+                    self._insert_element("tbody", {}, push=True)
+                if self._cur_tag() in ("tbody", "thead", "tfoot"):
+                    self._insert_element("tr", {}, push=True)
+            if self._cur_tag() == "tr":
+                self._insert_element(tag, attrs, push=True)
+            else:
+                self._insert_element(tag, attrs, push=True)
+            return
+        if tag in ("tbody", "thead", "tfoot", "caption", "colgroup"):
+            while self._cur_tag() not in ("table", "body"):
+                if len(self.stack) == 1:
+                    break
+                self._pop()
+            self._insert_element(tag, attrs, push=True)
+            return
+        if tag == "col":
+            if self._cur_tag() != "colgroup":
+                while self._cur_tag() not in ("table", "body"):
+                    if len(self.stack) == 1:
+                        break
+                    self._pop()
+                if self._cur_tag() == "table":
+                    self._insert_element("colgroup", {}, push=True)
+            self._insert_element("col", attrs, push=False)
+            return
+
+    def _end_table(self) -> None:
+        if self._has_in_table_scope("table"):
+            self._pop_through("table")
+
+    def handle_endtag(self, tag: str) -> None:
+        self._strip_nl = False
+        if not self.in_body:
+            return
+
+        if self._cur_foreign():
+            for i in range(len(self.stack) - 1, 0, -1):
+                entry = self.stack[i]
+                if entry[1] == tag:
+                    del self.stack[i:]
+                    return
+                if not entry[2] and entry[1] not in ("svg", "math"):
+                    break
+
+        if tag == "p":
+            if not self._has_in_scope("p", extra=("button",)):
+                self._insert_element("p", {}, push=False)
+                return
+            self._close_p()
+            return
+        if tag in _BLOCK_END:
+            if self._has_in_scope(tag):
+                self._generate_implied_end_tags()
+                self._pop_through(tag)
+            return
+        if tag in ("li", "dd", "dt"):
+            extra = ("ol", "ul") if tag == "li" else ()
+            if self._has_in_scope(tag, extra=extra):
+                self._generate_implied_end_tags(exclude=tag)
+                self._pop_through(tag)
+            return
+        if tag in _HEADINGS:
+            if any(self._has_in_scope(h) for h in _HEADINGS):
+                self._generate_implied_end_tags()
+                while len(self.stack) > 1:
+                    if self._pop()[1] in _HEADINGS:
+                        break
+            return
+        if tag == "form":
+            if self.form_open:
+                self.form_open = False
+                self._generate_implied_end_tags()
+                for i in range(len(self.stack) - 1, 0, -1):
+                    if self.stack[i][1] == "form":
+                        del self.stack[i]
+                        break
+            return
+        if tag == "br":
+            self._insert_element("br", {}, push=False)
+            return
+        if tag == "table":
+            self._end_table()
+            return
+        if tag in ("tbody", "thead", "tfoot", "tr", "td", "th", "caption", "colgroup"):
+            if self._has_in_table_scope(tag):
+                self._generate_implied_end_tags()
+                self._pop_through(tag)
+            return
+        if tag in ("body", "html"):
+            return
+
+        # Any other end tag: nearest-match pop with SPECIAL abort.
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i][1]
+            if t == tag:
+                self._generate_implied_end_tags(exclude=tag)
+                while len(self.stack) > 1:
+                    if self._pop()[1] == tag:
+                        return
+                return
+            if t in _SPECIAL:
+                return
+
+
+def _attrs_dict(attrs) -> dict:
+    """First-occurrence-wins attr dict; valueless attrs get ''."""
+    d: dict = {}
+    for name, value in attrs:
+        if name not in d:
+            d[name] = value if value is not None else ""
+    return d
+
+
+def _attr_hidden(attrs: dict) -> bool:
+    return attrs.get("type", "").lower() == "hidden"
+
+
+def _has_font_breakout_attr(attrs) -> bool:
+    for name, _v in attrs:
+        if name in ("color", "face", "size"):
+            return True
+    return False
+
+
+def parse_html(html: str) -> Document:
+    """Parse an HTML string into the pre-order body node table."""
+    # Input-stream preprocessing per spec: normalize newlines.
+    if "\r" in html:
+        html = html.replace("\r\n", "\n").replace("\r", "\n")
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # Total function: never raise on malformed markup; keep whatever
+        # tree was built so far (the reference is similarly total).
+        pass
+
+    # Linearize to pre-order arrays rooted at body (node 0).
+    n_tag = builder.n_tag
+    n_text = builder.n_text
+    n_attrs = builder.n_attrs
+    n_children = builder.n_children
+
+    kind: list = []
+    tag: list = []
+    attrs: list = []
+    text: list = []
+    parent: list = []
+    subtree_end: list = []
+
+    # Iterative DFS with explicit post-visit to fill subtree_end.
+    stack = [(0, -1, False)]
+    while stack:
+        node, par, visited = stack.pop()
+        if visited:
+            subtree_end[node] = len(kind)
+            continue
+        pre = len(kind)
+        if n_tag[node] is None:
+            kind.append(KIND_TEXT)
+            tag.append("")
+            attrs.append(None)
+            text.append(n_text[node])
+        else:
+            kind.append(KIND_ELEMENT)
+            tag.append(n_tag[node])
+            attrs.append(n_attrs[node])
+            text.append(None)
+        parent.append(par)
+        subtree_end.append(-1)
+        stack.append((pre, par, True))
+        for child in reversed(n_children[node]):
+            stack.append((child, pre, False))
+
+    return Document(kind, tag, attrs, text, parent, subtree_end)

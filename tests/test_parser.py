@@ -1,0 +1,215 @@
+"""HTML5-lite tree builder behavior tests."""
+
+from dce_spark.core.htmlparse import KIND_ELEMENT, KIND_TEXT, parse_html
+
+
+def tags(doc):
+    return [doc.tag[i] for i in range(len(doc)) if doc.kind[i] == KIND_ELEMENT]
+
+
+def texts(doc):
+    return [doc.text[i] for i in range(len(doc)) if doc.kind[i] == KIND_TEXT]
+
+
+def test_body_always_exists():
+    # reference src/utils.rs:477-496: parser always provides a body
+    for html in ["", "<div>No body here</div>", "<<<>>>", "Plain text",
+                 "<html><div>No explicit body</div></html>"]:
+        doc = parse_html(html)
+        assert len(doc) >= 1
+        assert doc.tag[0] == "body"
+        assert doc.parent[0] == -1
+
+
+def test_head_content_dropped():
+    doc = parse_html(
+        "<html><head><title>T</title><script>var x=1;</script>"
+        "<style>.a{}</style></head><body><p>hi</p></body></html>"
+    )
+    assert "title" not in tags(doc)
+    assert all("var x" not in (t or "") for t in texts(doc))
+    assert "hi" in "".join(texts(doc))
+
+
+def test_implied_p_close():
+    doc = parse_html("<body><p>one<p>two<div>three</div>")
+    # both p's are siblings under body, div is a sibling too
+    t = tags(doc)
+    assert t == ["body", "p", "p", "div"]
+    p_nodes = [i for i in range(len(doc)) if doc.tag[i] == "p"]
+    assert doc.parent[p_nodes[0]] == 0
+    assert doc.parent[p_nodes[1]] == 0
+
+
+def test_unclosed_p_closed_by_end_div():
+    # test_1.html's  "<p>Even more huge paragraph </div>" shape
+    doc = parse_html("<body><div><p>text</div><span>after</span>")
+    span = next(i for i in range(len(doc)) if doc.tag[i] == "span")
+    assert doc.parent[span] == 0  # span is child of body, not of p/div
+
+
+def test_li_implied_close():
+    doc = parse_html("<body><ul><li>a<li>b<li>c</ul>")
+    lis = [i for i in range(len(doc)) if doc.tag[i] == "li"]
+    assert len(lis) == 3
+    ul = next(i for i in range(len(doc)) if doc.tag[i] == "ul")
+    assert all(doc.parent[i] == ul for i in lis)
+
+
+def test_empty_p_on_stray_end_tag():
+    # spec: </p> with no open p inserts an empty p element
+    doc = parse_html("<body><div></p></div>")
+    assert "p" in tags(doc)
+
+
+def test_end_br_inserts_br():
+    doc = parse_html("<body>a</br>b")
+    assert "br" in tags(doc)
+
+
+def test_void_elements_do_not_nest():
+    doc = parse_html("<body><img src='x'>text<br>more")
+    img = next(i for i in range(len(doc)) if doc.tag[i] == "img")
+    assert doc.subtree_end[img] == img + 1
+    joined = "".join(texts(doc))
+    assert "text" in joined and "more" in joined
+
+
+def test_self_closing_html_element_stays_open():
+    # spec: self-closing flag ignored on non-void HTML elements
+    doc = parse_html("<body><div/>inside</body>")
+    div = next(i for i in range(len(doc)) if doc.tag[i] == "div")
+    txt = next(i for i in range(len(doc)) if doc.kind[i] == KIND_TEXT)
+    assert doc.parent[txt] == div
+
+
+def test_rawtext_script_content_single_text_node():
+    doc = parse_html("<body><script>if (a < b) { x(\"<div>\"); }</script><p>t</p>")
+    script = next(i for i in range(len(doc)) if doc.tag[i] == "script")
+    assert doc.kind[script + 1] == KIND_TEXT
+    assert "<div>" in doc.text[script + 1]
+    assert "p" in tags(doc)
+
+
+def test_iframe_rawtext():
+    doc = parse_html("<body><iframe><span>fallback</span></iframe><p>t</p>")
+    # iframe content is raw text, not elements
+    assert "span" not in tags(doc)
+    assert "p" in tags(doc)
+
+
+def test_rcdata_textarea_entities_decoded():
+    doc = parse_html("<body><textarea>a &amp; b</textarea>")
+    ta = next(i for i in range(len(doc)) if doc.tag[i] == "textarea")
+    assert doc.text[ta + 1] == "a & b"
+
+
+def test_table_synthesis_tbody():
+    doc = parse_html("<body><table><tr><td>x</td></tr></table>")
+    t = tags(doc)
+    assert "tbody" in t  # implied tbody is created per spec
+    tr = next(i for i in range(len(doc)) if doc.tag[i] == "tr")
+    tbody = next(i for i in range(len(doc)) if doc.tag[i] == "tbody")
+    assert doc.parent[tr] == tbody
+
+
+def test_table_foster_parenting_text():
+    doc = parse_html("<body><table>fostered<tr><td>cell</td></tr></table>")
+    table = next(i for i in range(len(doc)) if doc.tag[i] == "table")
+    fostered = next(
+        i for i in range(len(doc))
+        if doc.kind[i] == KIND_TEXT and "fostered" in doc.text[i]
+    )
+    # fostered text sits BEFORE the table, under body
+    assert fostered < table
+    assert doc.parent[fostered] == 0
+
+
+def test_table_whitespace_stays_inside():
+    doc = parse_html("<body><table>\n  <tr><td>x</td></tr>\n</table>")
+    table = next(i for i in range(len(doc)) if doc.tag[i] == "table")
+    ws = [i for i in range(len(doc))
+          if doc.kind[i] == KIND_TEXT and (doc.text[i] or "").strip() == ""]
+    assert any(doc.parent[i] == table for i in ws)
+
+
+def test_stray_table_parts_ignored():
+    doc = parse_html("<body><td>x</td><p>y</p>")
+    assert "td" not in tags(doc)
+    assert "p" in tags(doc)
+
+
+def test_a_closes_a():
+    doc = parse_html("<body><a href='1'>one<a href='2'>two</a>")
+    a_nodes = [i for i in range(len(doc)) if doc.tag[i] == "a"]
+    assert len(a_nodes) == 2
+    # second <a> must not be nested inside the first
+    assert doc.parent[a_nodes[1]] != a_nodes[0]
+
+
+def test_comments_dropped():
+    doc = parse_html("<body>a<!-- comment -->b")
+    assert all("comment" not in (t or "") for t in texts(doc))
+
+
+def test_text_coalescing():
+    doc = parse_html("<body>a&amp;b and &lt;more&gt;")
+    tx = texts(doc)
+    assert tx == ["a&b and <more>"]
+
+
+def test_crlf_normalized():
+    doc = parse_html("<body>line1\r\nline2\rline3")
+    assert texts(doc) == ["line1\nline2\nline3"]
+
+
+def test_nul_stripped():
+    doc = parse_html("<body>a\x00b")
+    assert texts(doc) == ["ab"]
+
+
+def test_svg_foreign_content():
+    doc = parse_html("<body><svg><circle r='1'/><text>lbl</text></svg><p>t</p>")
+    t = tags(doc)
+    assert "svg" in t and "circle" in t
+    assert "p" in t
+    p = next(i for i in range(len(doc)) if doc.tag[i] == "p")
+    assert doc.parent[p] == 0  # p escaped the svg
+
+
+def test_svg_breakout():
+    doc = parse_html("<body><svg><div>broke out</div></svg>")
+    div = next(i for i in range(len(doc)) if doc.tag[i] == "div")
+    assert doc.parent[div] == 0
+
+
+def test_content_after_body_close():
+    doc = parse_html("<html><body><p>in</p></body><p>after</p></html>")
+    ps = [i for i in range(len(doc)) if doc.tag[i] == "p"]
+    assert len(ps) == 2
+    assert all(doc.parent[i] == 0 for i in ps)
+
+
+def test_pre_leading_newline_stripped():
+    doc = parse_html("<body><pre>\ncode</pre>")
+    pre = next(i for i in range(len(doc)) if doc.tag[i] == "pre")
+    assert doc.text[pre + 1] == "code"
+
+
+def test_attrs_first_wins_and_valueless():
+    doc = parse_html('<body><div class="a" class="b" hidden>x</div>')
+    div = next(i for i in range(len(doc)) if doc.tag[i] == "div")
+    assert doc.attrs[div]["class"] == "a"
+    assert doc.attrs[div]["hidden"] == ""
+
+
+def test_subtree_end_invariants():
+    doc = parse_html("<body><div><p>a<span>b</span></p></div><p>c</p>")
+    n = len(doc)
+    for i in range(n):
+        assert i < doc.subtree_end[i] <= n
+        # children lie within the parent's subtree
+        if doc.parent[i] >= 0:
+            p = doc.parent[i]
+            assert p < i < doc.subtree_end[p]
+    assert doc.subtree_end[0] == n
