@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column (array<float/double>).
+
+Two paths, both pure Catalyst:
+
+* Brute-force cosine: zip_with product + sequential aggregate fold
+  (deterministic left-to-right f64 summation — matters for oracle
+  parity AND for reproducible thresholds across engines);
+* LSH-bucketed: deterministic integer hyperplanes (no RNG) bucket
+  vectors by sign pattern; candidate pairs share a bucket, exact
+  cosine is computed only within buckets. At 10^12 scale the bucket
+  join replaces the O(N*Q) crossJoin with a shuffle on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _f64(a):
+    """Embeddings are stored float32; promote exactly to float64 so the
+    similarity math is engine-independent f64."""
+    return a.cast("array<double>")
+
+
+def _dot(a, b):
+    """Deterministic sequential dot product (left-to-right fold)."""
+    return F.aggregate(
+        F.zip_with(_f64(a), _f64(b), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(_f64(a), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_queries: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the query vectors.
+
+    The query side is tiny -> broadcast crossJoin; candidates stream
+    through one whole-stage-codegen projection; top-k via a window on
+    the (small) query partition count.
+    """
+    from pyspark.sql.window import Window
+
+    if query_ids is not None:
+        queries = embeddings.filter(F.col("vec_id").isin(query_ids))
+    else:
+        queries = embeddings.filter(F.col("vec_id") < n_queries)
+    queries = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = embeddings.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    ).filter(
+        ~F.col("cand_id").isin(query_ids)
+        if query_ids is not None
+        else F.col("cand_id") >= n_queries
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .withColumn("cosine", cosine_similarity_col(F.col("q_emb"), F.col("c_emb")))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("cand_id").cast("long").alias("cand_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )
+
+
+def cosine_pairs_threshold(
+    embeddings: DataFrame, n_queries: int = 10, threshold: float = 0.5
+) -> DataFrame:
+    """Set-semantics variant (oracle-friendly: no rank instability):
+    all (query, candidate) pairs with cosine >= threshold."""
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = embeddings.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    return (
+        cands.crossJoin(F.broadcast(queries))
+        .withColumn("cosine", cosine_similarity_col(F.col("q_emb"), F.col("c_emb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("cand_id").cast("long").alias("cand_id"),
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )
+
+
+def _hyperplane_weights(n_planes: int, dim: int):
+    """Deterministic integer 'hyperplanes': w(p, d) = ((p*73 + d*37) % 19) - 9.
+    Integer weights keep sign(dot) exactly reproducible across engines."""
+    return [
+        [((p * 73 + d * 37) % 19) - 9 for d in range(dim)] for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_col(emb_col, n_planes: int, dim: int):
+    planes = _hyperplane_weights(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        w = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bits.append(F.when(_dot(emb_col, w) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    bucket = F.lit(0)
+    for i, b in enumerate(bits):
+        bucket = bucket + (b.cast("int") * F.lit(1 << i))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates join queries on bucket id only.
+
+    At scale this is the path: the crossJoin becomes an equi-join on
+    bucket (shuffle on a low-cardinality int), trading recall for a
+    1/2^planes candidate reduction; multi-probe = union of flipped-bit
+    buckets (not needed at sandbox scale).
+    """
+    from pyspark.sql.window import Window
+
+    with_bucket = embeddings.withColumn(
+        "bucket", lsh_bucket_col(F.col("embedding"), n_planes, dim)
+    )
+    queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    cands = with_bucket.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket"),
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "bucket")
+        .withColumn("cosine", cosine_similarity_col(F.col("q_emb"), F.col("c_emb")))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("cand_id").cast("long").alias("cand_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )

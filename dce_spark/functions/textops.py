@@ -1,0 +1,231 @@
+"""Text-analysis + deduplication operators over a documents table.
+
+All operators are pure Catalyst expressions (split/transform/aggregate/
+md5/window) — whole-stage-codegen-friendly, no Python on the hot path.
+Each has a matching ANSI-SQL oracle in __spark_entry__.py.
+
+Scale notes:
+* exact_dedup / fingerprint: one hash-shuffle on the group key; at
+  10^12 rows group by md5(text) (fixed 32-byte key) rather than raw
+  text to keep shuffle rows small.
+* minhash: shingle explode -> 8 per-seed min-aggregations in ONE
+  groupBy pass (map-side partial aggregation does the heavy lifting);
+  band hashes then bucket candidates without any pairwise join.
+* ngram_jaccard: pairwise join restricted to a blocking key (source)
+  so the candidate space stays bounded; the general path is
+  minhash-band blocking first, exact jaccard only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS_EN = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on",
+)
+
+# tiny per-language function-word profiles for the lang-id heuristic
+LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+}
+
+
+def tokens_col(col="text"):
+    return F.split(F.col(col), " ")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup: keep the smallest doc_id per identical text."""
+    return (
+        documents.groupBy("text")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+        .select("keep_id", "dup_count")
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens_col()).cast("long").alias("token_count"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features."""
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "long"
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.length("text").cast("double") / n_tok.cast("double")).alias(
+            "avg_token_len"
+        ),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def lang_distribution(documents: DataFrame) -> DataFrame:
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            (
+                F.sum("n_chars").cast("double") / F.count("*").cast("double")
+            ).alias("avg_chars"),
+        )
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Exact-document fingerprint: md5 over the normalized text."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Function-word-profile language ID (n-gram-heuristic family)."""
+    toks = tokens_col()
+
+    def _contains(arr):
+        # closure (NOT a 2-arg lambda: PySpark would bind arg 2 as the
+        # element index)
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {}
+    for lang, words in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, _contains(arr)))
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when(
+            (scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]),
+            F.lit("es"),
+        )
+        .when(scores["de"] >= scores["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), pred.alias("pred_lang")
+    )
+
+
+def _shingles(k: int = 3):
+    """Distinct k-word shingles of the text column."""
+    toks = tokens_col()
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    # guard: sequence() descends when n < k, so emit no shingles there
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(documents: DataFrame, k: int = 3) -> DataFrame:
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        F.explode(_shingles(k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.1
+) -> DataFrame:
+    """Pairwise k-shingle Jaccard within a blocking key (source)."""
+    sh = shingle_table(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_bands(documents: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
+    """MinHash signature (md5-lexicographic min per seed) + 2 LSH band
+    hashes of 4 rows each. Candidate duplicate groups share a band."""
+    sh = shingle_table(documents, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(n_seeds)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    band_a = F.md5(F.concat(*[F.col(f"m{s}") for s in range(0, 4)]))
+    band_b = F.md5(F.concat(*[F.col(f"m{s}") for s in range(4, 8)]))
+    return sig.select(
+        "doc_id", band_a.alias("band_a"), band_b.alias("band_b")
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash over tokens: per bit, sign of the sum of token
+    weights (+1/-1 from xxhash64 bit). Pure Catalyst: explode tokens,
+    one groupBy with 64 conditional sums folded into a bit string."""
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens_col()).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    one = F.lit(1).cast("long")
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    # fold the 64 sign bits into a bigint (bit 63 lands in the sign bit)
+    expr = F.lit(0).cast("long")
+    for b in range(64):
+        expr = expr + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(one, b)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(
+        F.col("doc_id").cast("long").alias("doc_id"), expr.alias("simhash")
+    )

@@ -1,0 +1,139 @@
+"""CleanEval-style evaluation job (reference examples/ce_score.rs).
+
+Spark shape: broadcast equi-join of extracted pages with the gold table
+on stem, then a grouped-map scoring pass (word-LCS is a per-pair DP, the
+one genuinely non-SQL step — Arrow-batched via applyInPandas), then a
+native avg() aggregation. Mirrors:
+
+* gold cleanup: drop URL line, strip <h>/<l>/<p> markup, join lines
+  (ce_score.rs:48-71);
+* text normalization: drop punctuation except apostrophes, collapse
+  spaces, lowercase (ce_score.rs:17-31);
+* word-LCS scaled to ~chars by mean word length (ce_score.rs:73-113);
+* precision = lcs/len(extracted), recall = lcs/len(gold), F1, plus
+  Sørensen–Dice bigram similarity (ce_score.rs:150-156);
+* NaN rows dropped before the means (ce_score.rs:185-205).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_PUNCT_RE = re.compile(r"[^\w\s']")
+_WS_RE = re.compile(r"\s+")
+_GOLD_TAG_RE = re.compile(r"<[hl/p]+>")
+
+
+def clean_and_normalize_text(text: str) -> str:
+    """ce_score.rs:17-31 (\\w and lowercase are Unicode-aware in both)."""
+    text = _PUNCT_RE.sub(" ", text)
+    text = _WS_RE.sub(" ", text)
+    return text.lower().strip()
+
+
+def clean_gold_text(raw: str) -> str:
+    """ce_score.rs:48-71: drop the URL line, strip CleanEval markup."""
+    lines = raw.splitlines()[1:]
+    content = "\n".join(lines)
+    content = _GOLD_TAG_RE.sub("", content)
+    return " ".join(ln.strip() for ln in content.splitlines() if ln.strip())
+
+
+def word_lcs_chars(s1: str, s2: str) -> int:
+    """Word-level LCS scaled to ~chars (ce_score.rs:73-113)."""
+    w1 = s1.split()
+    w2 = s2.split()
+    m, n = len(w1), len(w2)
+    if m == 0 or n == 0:
+        return 0
+    # O(m*n) DP with numpy row updates
+    prev = np.zeros(n + 1, dtype=np.int32)
+    a2 = np.array(w2, dtype=object)
+    for i in range(1, m + 1):
+        curr = np.zeros(n + 1, dtype=np.int32)
+        eq = a2 == w1[i - 1]
+        for j in range(1, n + 1):
+            if eq[j - 1]:
+                curr[j] = prev[j - 1] + 1
+            else:
+                a, b = curr[j - 1], prev[j]
+                curr[j] = a if a >= b else b
+        prev = curr
+    lcs_words = int(prev[n])
+    if lcs_words == 0:
+        return 0
+    avg1 = sum(len(w) for w in w1) / m
+    avg2 = sum(len(w) for w in w2) / n
+    return int(lcs_words * ((avg1 + avg2) / 2.0 + 1.0))
+
+
+def sorensen_dice(a: str, b: str) -> float:
+    """Bigram Sørensen–Dice (strsim semantics: over char bigrams of the
+    whitespace-stripped? No — strsim uses all char bigrams as multiset)."""
+    if a == b:
+        return 1.0
+    if len(a) < 2 or len(b) < 2:
+        return 0.0
+    from collections import Counter
+
+    ba = Counter(a[i : i + 2] for i in range(len(a) - 1))
+    bb = Counter(b[i : i + 2] for i in range(len(b) - 1))
+    inter = sum((ba & bb).values())
+    return 2.0 * inter / (sum(ba.values()) + sum(bb.values()))
+
+
+SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("stem", T.StringType()),
+        T.StructField("precision", T.DoubleType()),
+        T.StructField("recall", T.DoubleType()),
+        T.StructField("f1", T.DoubleType()),
+        T.StructField("dice", T.DoubleType()),
+    ]
+)
+
+
+def score_pairs(extracted: DataFrame, gold: DataFrame) -> DataFrame:
+    """(stem, extracted_text) x (stem, gold_text) -> per-pair scores."""
+    pairs = extracted.join(F.broadcast(gold), "stem", "inner").select(
+        "stem", "extracted_text", "gold_text"
+    )
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            ext = clean_and_normalize_text(row["extracted_text"] or "")
+            gld = clean_and_normalize_text(clean_gold_text(row["gold_text"] or ""))
+            lcs = word_lcs_chars(gld, ext)
+            precision = lcs / len(ext) if len(ext) else float("nan")
+            recall = lcs / len(gld) if len(gld) else float("nan")
+            denom = precision + recall
+            f1 = 2.0 * precision * recall / denom if denom else float("nan")
+            out.append(
+                (row["stem"], precision, recall, f1, sorensen_dice(ext, gld))
+            )
+        return pd.DataFrame(
+            out, columns=["stem", "precision", "recall", "f1", "dice"]
+        )
+
+    # hash-partition pairs across workers; each group is one Arrow batch
+    return pairs.groupBy("stem").applyInPandas(_score, SCORE_SCHEMA)
+
+
+def mean_scores(scores: DataFrame) -> DataFrame:
+    """NaN-row filter + means (ce_score.rs:185-248)."""
+    valid = scores.filter(
+        ~F.isnan("precision") & ~F.isnan("recall") & ~F.isnan("f1")
+    )
+    return valid.agg(
+        F.count("*").cast("long").alias("files"),
+        F.avg("precision").alias("avg_precision"),
+        F.avg("recall").alias("avg_recall"),
+        F.avg("f1").alias("avg_f1"),
+        F.avg("dice").alias("avg_dice"),
+    )

@@ -1,0 +1,72 @@
+"""Evaluation job semantics (reference examples/ce_score.rs)."""
+
+import math
+
+import pytest
+
+from dce_spark.spark.evaljob import (
+    clean_and_normalize_text,
+    clean_gold_text,
+    mean_scores,
+    score_pairs,
+    sorensen_dice,
+    word_lcs_chars,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def test_clean_and_normalize():
+    # ce_score.rs:17-31: punctuation except apostrophes, ws collapse, lower
+    assert clean_and_normalize_text("Hello, World! It's me.") == "hello world it's me"
+    assert clean_and_normalize_text("  a   b\nc  ") == "a b c"
+
+
+def test_clean_gold_drops_url_line_and_markup():
+    raw = "http://example.com/page\n<h>Title</h>\n<p>Body text</p>\n\n<l>item</l>"
+    assert clean_gold_text(raw) == "Title Body text item"
+
+
+def test_word_lcs():
+    # identical strings: lcs_words * (avg_len + 1)
+    s = "alpha beta gamma"
+    expected = int(3 * ((len("alphabetagamma") / 3 + len("alphabetagamma") / 3) / 2 + 1))
+    assert word_lcs_chars(s, s) == expected
+    assert word_lcs_chars(s, "nothing shared here") == 0
+    assert word_lcs_chars("", "x y") == 0
+
+
+def test_sorensen_dice():
+    assert sorensen_dice("night", "nacht") == pytest.approx(0.25)
+    assert sorensen_dice("same", "same") == 1.0
+    assert sorensen_dice("a", "b") == 0.0
+
+
+def test_score_pairs_perfect_extraction(spark):
+    gold_raw = "http://x\n<p>the quick brown fox jumps over the lazy dog</p>"
+    extracted = spark.createDataFrame(
+        [("doc1", "the quick brown fox jumps over the lazy dog")],
+        ["stem", "extracted_text"],
+    )
+    gold = spark.createDataFrame([("doc1", gold_raw)], ["stem", "gold_text"])
+    scores = score_pairs(extracted, gold).collect()
+    assert len(scores) == 1
+    s = scores[0]
+    # word-LCS char scaling is approximate -> near 1, not exactly 1
+    assert s.precision == pytest.approx(1.0, abs=0.15)
+    assert s.recall == pytest.approx(1.0, abs=0.15)
+    assert s.dice == pytest.approx(1.0)
+
+
+def test_mean_scores_filters_nan(spark):
+    rows = [
+        ("a", 0.9, 0.8, 0.85, 0.9),
+        ("b", float("nan"), 0.5, 0.5, 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, ["stem", "precision", "recall", "f1", "dice"]
+    )
+    out = mean_scores(df).collect()[0]
+    assert out.files == 1
+    assert out.avg_precision == pytest.approx(0.9)
+    assert not math.isnan(out.avg_f1)

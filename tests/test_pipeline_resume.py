@@ -1,0 +1,80 @@
+"""Tier-3: pipeline semantics — resume-from-manifest, exactly-once per
+url, lineage counters, salting distribution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dce_spark.spark.corpus import build_pages_df
+from dce_spark.spark.pipeline import (
+    read_extracted,
+    read_manifest,
+    run_pipeline,
+    salt_partitions,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pages") / "pages")
+    build_pages_df(spark, n_synthetic=48, include_fixtures=True).write.parquet(p)
+    return p
+
+
+def test_kill_and_rerun_exactly_once(spark, pages_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "extracted")
+    # simulate a crash: only 2 of 4 commits happen
+    r1 = run_pipeline(
+        spark, pages_path, out, buckets=8, buckets_per_commit=2, max_commits=2
+    )
+    assert r1["committed"] == 2 and r1["remaining"] > 0
+    mid = read_extracted(spark, out).count()
+    total_in = spark.read.parquet(pages_path).count()
+    assert 0 < mid < total_in
+
+    # resume: picks up only missing buckets
+    r2 = run_pipeline(spark, pages_path, out, buckets=8, buckets_per_commit=2)
+    assert r2["resumed_from"] == 4
+    assert r2["remaining"] == 0
+
+    result = read_extracted(spark, out)
+    assert result.count() == total_in
+    assert result.select("url").distinct().count() == total_in
+
+    # idempotence: a third run does nothing
+    r3 = run_pipeline(spark, pages_path, out, buckets=8, buckets_per_commit=2)
+    assert r3["committed"] == 0
+    assert read_extracted(spark, out).count() == total_in
+
+
+def test_manifest_lineage_counters(spark, pages_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "extracted")
+    run_pipeline(spark, pages_path, out, buckets=4, buckets_per_commit=4)
+    mf = read_manifest(spark, out)
+    rows = mf.collect()
+    assert {r.bucket for r in rows} == {0, 1, 2, 3}
+    total_in = spark.read.parquet(pages_path).count()
+    assert sum(r.url_count for r in rows) == total_in
+    assert all(r.bytes_in > 0 for r in rows)
+    assert sum(r.pages_ok for r in rows) == total_in  # all fixture rows ok
+    assert all(r.wall_ms >= 0 for r in rows)
+
+
+def test_salting_spreads_hot_domain(spark):
+    # 40% of urls share one host; after the salted exchange no partition
+    # should hold a grossly disproportionate share of rows
+    rows = [(f"https://hot.example.com/{i}",) for i in range(200)] + [
+        (f"https://site-{i}.example.org/x",) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    parts = salt_partitions(df, num_partitions=4, salt_factor=2)
+    sizes = (
+        parts.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 8
+    assert max(counts) < 2.5 * (500 / 8)

@@ -1,0 +1,137 @@
+"""Training-data operators: behavioral tests on small controlled data.
+
+Cross-engine value parity with DuckDB is the driver's CORRECTNESS gate
+(tools/check_oracles.py runs the same comparison locally); these tests
+pin the operator semantics themselves.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dce_spark.functions import textops
+from dce_spark.functions.simsearch import (
+    brute_force_topk,
+    cosine_pairs_threshold,
+    lsh_topk,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en", "s1", 22),
+        (2, "the cat sat on the mat", "en", "s1", 22),  # exact dup of 1
+        (3, "the cat sat on the red mat", "en", "s1", 26),  # near dup
+        (4, "completely different words entirely here now", "en", "s2", 45),
+        (5, "el la de que y los palabras", "es", "s2", 27),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def test_exact_dedup(docs):
+    out = {r.keep_id: r.dup_count for r in textops.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 merged, min id kept
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+    assert 2 not in out
+
+
+def test_token_count(docs):
+    out = {r.doc_id: r.token_count for r in textops.token_count(docs).collect()}
+    assert out[1] == 6
+    assert out[4] == 6
+    assert out[5] == 7
+
+
+def test_quality_score(docs):
+    out = {r.doc_id: r for r in textops.quality_score(docs).collect()}
+    assert out[1].n_tokens == 6
+    assert out[1].stopword_ratio == pytest.approx(3 / 6)  # 'the' x2 + 'on'
+    assert out[4].stopword_ratio == 0.0
+
+
+def test_fingerprint_matches_dups(docs):
+    out = {r.doc_id: r.fingerprint for r in textops.fingerprint(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.pred_lang for r in textops.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "es"
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in textops.ngram_jaccard_pairs(docs, k=3, threshold=0.05).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] < 1.0  # near dup
+    # different source blocks are never compared
+    assert not any(a == 4 or b == 4 for a, b in pairs if (a, b) != (4, 4))
+
+
+def test_minhash_bands_group_dups(docs):
+    out = {r.doc_id: (r.band_a, r.band_b) for r in textops.minhash_bands(docs).collect()}
+    assert out[1] == out[2]  # identical docs -> identical signature
+    assert out[1] != out[4]
+
+
+def test_simhash_near_dup_hamming(docs):
+    out = {r.doc_id: r.simhash for r in textops.simhash64(docs).collect()}
+    assert out[1] == out[2]
+    ham_near = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((out[1] ^ out[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import math
+
+    rows = []
+    for vid in range(30):
+        cluster = vid % 3
+        base = [0.0] * 8
+        base[cluster] = 1.0
+        # small deterministic perturbation
+        vec = [
+            b + 0.01 * math.sin(vid * 7 + d) for d, b in enumerate(base)
+        ]
+        rows.append((vid, vec, cluster))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_topk_finds_cluster(embeddings):
+    out = brute_force_topk(embeddings, n_queries=3, k=3).collect()
+    labels = {r.vec_id: r.label for r in embeddings.collect()}
+    for r in out:
+        if r.rank == 1:
+            assert labels[r.cand_id] == labels[r.query_id]
+
+
+def test_cosine_threshold_set(embeddings):
+    out = cosine_pairs_threshold(embeddings, n_queries=3, threshold=0.9).collect()
+    labels = {r.vec_id: r.label for r in embeddings.collect()}
+    assert out
+    for r in out:
+        assert labels[r.cand_id] == labels[r.query_id]
+
+
+def test_lsh_topk_recall_vs_brute(embeddings):
+    brute = {
+        (r.query_id, r.rank): r.cand_id
+        for r in brute_force_topk(embeddings, n_queries=3, k=1).collect()
+    }
+    lsh = {
+        (r.query_id, r.rank): r.cand_id
+        for r in lsh_topk(embeddings, n_queries=3, k=1, n_planes=4, dim=8).collect()
+    }
+    # rank-1 recall of LSH vs brute force on separable clusters
+    hits = sum(1 for k, v in brute.items() if lsh.get(k) == v)
+    assert hits >= 2
