@@ -70,6 +70,19 @@ def _q_cetd_article(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cetd_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dce_spark.spark.corpus import build_pages_df
+    from dce_spark.spark.pipeline import extract_pages
+
+    pages = build_pages_df(spark, n_synthetic=16, include_fixtures=True)
+    out = extract_pages(pages, mode="all", num_partitions=4, salt_factor=2)
+    return out.select(
+        "url", "status",
+        F.length("extracted_md").alias("md_len"),
+        F.md5(F.coalesce(F.col("extracted_md"), F.lit(""))).alias("md_md5"),
+    )
+
+
 def _q_doc_exact_dedup(spark, sf_dir):
     from dce_spark.functions.textops import exact_dedup
 
@@ -232,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cetd_extract_content": _q_cetd_content,
         "cetd_extract_article": _q_cetd_article,
+        "cetd_extract_markdown": _q_cetd_markdown,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
         "doc_quality_score": _q_doc_quality,

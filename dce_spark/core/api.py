@@ -51,17 +51,21 @@ def extract_page(html: bytes | str, mode: str = "both") -> dict[str, Any]:
             "status": "ok",
             "primary_script": "",
         }
-        if mode in ("content", "both"):
+        if mode in ("content", "both", "all"):
             extracted, spans = dtree.extract_content(with_spans=True)
             out["extracted_text"] = extracted
             out["content_node_spans"] = [
                 {"node_index": n, "start": s, "end": e} for n, s, e in spans
             ]
             out["primary_script"] = detect_primary_script(extracted)
-        if mode in ("article", "both"):
+        if mode in ("article", "both", "all"):
             out["article_text"] = dtree.extract_article()
             if mode == "article":
                 out["primary_script"] = detect_primary_script(out["article_text"])
+        if mode == "all":
+            from dce_spark.core.markdown import extract_content_as_markdown
+
+            out["extracted_md"] = extract_content_as_markdown(dtree)
         return out
     except Exception as exc:  # total per row: error-code column, no throw
         return {

@@ -376,3 +376,27 @@ class DensityTree:
     # ------------------------------------------------------------------
     def node_count(self) -> int:
         return len(self.dom_index)
+
+    # ------------------------------------------------------------------
+    def debug_format(self) -> str:
+        """Reference Debug formatting (src/cetd.rs:441-460): one line per
+        non-root node, 2-space indent per depth level, wrapped in braces.
+        test_2 prints 18 lines (src/cetd.rs:541-549)."""
+        lines = ["DensityTree {"]
+        for i in range(1, self.node_count()):
+            indent = "  " * int(self.depth[i])
+            if self.density_sum is None:
+                ds = "None"
+            else:
+                ds = f"{float(self.density_sum[i]):.5g}"
+            lines.append(
+                f"{indent}DensityNode {{ node_id: {int(self.dom_index[i])}, "
+                f"char_count: {int(self.char_count[i])}, "
+                f"tag_count: {int(self.tag_count[i])}, "
+                f"link_char_count: {int(self.link_char_count[i])}, "
+                f"link_tag_count: {int(self.link_tag_count[i])}, "
+                f"density: {float(self.density[i]):.5g}, "
+                f"density_sum: {ds} }}"
+            )
+        lines.append("}")
+        return "\n".join(lines)

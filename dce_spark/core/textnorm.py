@@ -81,6 +81,8 @@ def join_text_fragments(fragments: list[str]) -> str:
 def detect_primary_script(text: str) -> str:
     """Heuristic Latin/Cyrillic/Han detection, exact port of the counting
     ranges in reference src/unicode.rs:125-150 (Latin wins ties)."""
+    if text.isascii():
+        return "Latin"  # all chars count as Latin; ties go Latin anyway
     latin = 0
     cjk = 0
     cyrillic = 0

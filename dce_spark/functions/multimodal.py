@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as `binary` columns with a
+metadata struct; decode / feature-extraction are Arrow-batched
+`mapInPandas` kernels. The actual codecs are NOT available in this
+environment, so the decode step is a clearly-marked stub behind
+`DecodeBackend`: the default `FakeDecodeBackend` produces deterministic
+features from the bytes (so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested), and a
+real backend (PIL/librosa/pyav) plugs in by implementing the same two
+methods.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("payload_sha1", T.StringType(), True),
+    ]
+)
+
+
+class DecodeBackend:
+    """Interface for media decoding. Real implementations would wrap
+    PIL (image), librosa/soundfile (audio), pyav (video frame sampling).
+    None of those libraries exist in this container."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:  # H x W x C
+        raise NotImplementedError(
+            "real image decoding requires PIL/opencv, not present in "
+            "this environment — plug in a backend"
+        )
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:  # samples
+        raise NotImplementedError(
+            "real audio decoding requires soundfile/librosa — plug in "
+            "a backend"
+        )
+
+
+class FakeDecodeBackend(DecodeBackend):
+    """Deterministic stand-in: 'decodes' bytes into a pseudo-signal via
+    a seeded hash expansion. Keeps every downstream shape honest."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        h = hashlib.sha256(payload).digest()
+        rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64))
+        return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        h = hashlib.sha256(payload).digest()
+        rng = np.random.default_rng(np.frombuffer(h[8:16], dtype=np.uint64))
+        return rng.standard_normal(1024).astype(np.float32)
+
+
+def _extract_features(
+    pdf_iter: Iterator[pd.DataFrame], backend: DecodeBackend
+) -> Iterator[pd.DataFrame]:
+    for pdf in pdf_iter:
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            payload = rec.payload
+            if payload is None:
+                rows.append((rec.media_id, rec.kind, "empty", None, None))
+                continue
+            sha1 = hashlib.sha1(payload).hexdigest()
+            try:
+                if rec.kind == "image":
+                    arr = backend.decode_image(bytes(payload)).astype(np.float32)
+                    # 12-dim feature: per-channel mean/std + downsampled
+                    feat = np.concatenate(
+                        [
+                            arr.mean(axis=(0, 1)) / 255.0,
+                            arr.std(axis=(0, 1)) / 255.0,
+                            arr.reshape(-1)[:6] / 255.0,
+                        ]
+                    )
+                elif rec.kind == "audio":
+                    sig = backend.decode_audio(bytes(payload))
+                    # frame-level energy profile (8 frames) + rms + zc rate
+                    frames = sig[: 1024 - (len(sig) % 8 or 8)].reshape(8, -1)
+                    feat = np.concatenate(
+                        [
+                            np.sqrt((frames**2).mean(axis=1)),
+                            [float(np.sqrt((sig**2).mean()))],
+                            [float((np.diff(np.sign(sig)) != 0).mean())],
+                        ]
+                    ).astype(np.float32)
+                else:
+                    rows.append((rec.media_id, rec.kind, "unsupported", None, sha1))
+                    continue
+                rows.append(
+                    (rec.media_id, rec.kind, "ok", feat.astype(np.float32).tolist(), sha1)
+                )
+            except NotImplementedError:
+                rows.append((rec.media_id, rec.kind, "no_backend", None, sha1))
+        yield pd.DataFrame(
+            rows, columns=["media_id", "kind", "status", "feature", "payload_sha1"]
+        )
+
+
+def media_features(
+    media: DataFrame, backend: DecodeBackend | None = None
+) -> DataFrame:
+    """media table -> per-item feature vectors via Arrow-batched
+    mapInPandas. Pure per-row map: salting/partitioning follows the
+    same url/id-hash strategy as page extraction."""
+    backend = backend or FakeDecodeBackend()
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _extract_features(it, backend)
+
+    pruned = media.select("media_id", "kind", "payload")
+    return pruned.mapInPandas(kernel, FEATURE_SCHEMA)

@@ -168,8 +168,19 @@ def fixture_rows(include_reference: bool = True) -> list[dict]:
 
 def build_pages_df(spark, n_synthetic: int, include_fixtures: bool = True,
                    partitions: int | None = None, seed: int = SEED):
-    """pages DataFrame: fixture rows + n deterministic synthetic rows."""
-    parts = partitions or spark.sparkContext.defaultParallelism
+    """pages DataFrame: fixture rows + n deterministic synthetic rows.
+
+    Default partition count is generous (>= 2x parallelism, min 64 for
+    non-trivial corpora): the parquet files this lands in must carry
+    enough row groups that a 4x-bigger cluster can still scan in
+    parallel (scan parallelism is file/row-group-bound).
+    """
+    if partitions is None:
+        par = spark.sparkContext.defaultParallelism
+        partitions = min(max(64, par * 2), max(n_synthetic, 1))
+        if n_synthetic <= 256:
+            partitions = max(par, 4)
+    parts = partitions
 
     def _gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -196,6 +207,15 @@ def build_pages_df(spark, n_synthetic: int, include_fixtures: bool = True,
 
 
 def write_pages_parquet(spark, path: str, n_synthetic: int,
-                        include_fixtures: bool = True, seed: int = SEED) -> None:
+                        include_fixtures: bool = True, seed: int = SEED,
+                        bucket_files: int | None = None) -> None:
+    """Write the corpus salted at WRITE time: files are url-hash buckets
+    (repartition on xxhash64(url)), the parquet analogue of an Iceberg
+    bucket(url) partition spec. Downstream extraction then reads
+    pre-salted splits and needs no runtime exchange."""
+    from pyspark.sql import functions as F
+
     df = build_pages_df(spark, n_synthetic, include_fixtures, seed=seed)
-    df.write.mode("overwrite").parquet(path)
+    nb = bucket_files or min(max(64, spark.sparkContext.defaultParallelism * 2),
+                             max(n_synthetic // 16, 1))
+    df.repartition(nb, F.xxhash64("url")).write.mode("overwrite").parquet(path)

@@ -31,6 +31,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("extracted_text", T.StringType(), True),
         T.StructField("article_text", T.StringType(), True),
+        T.StructField("extracted_md", T.StringType(), True),
         T.StructField("content_node_spans", SPAN_TYPE, True),
         T.StructField("node_count", T.IntegerType(), True),
         T.StructField("status", T.StringType(), True),

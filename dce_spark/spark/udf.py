@@ -36,6 +36,7 @@ _ARROW_OUT = pa.schema(
         pa.field("url", pa.string(), nullable=False),
         pa.field("extracted_text", pa.string()),
         pa.field("article_text", pa.string()),
+        pa.field("extracted_md", pa.string()),
         pa.field("content_node_spans", _ARROW_SPAN),
         pa.field("node_count", pa.int32()),
         pa.field("status", pa.string()),
@@ -77,6 +78,7 @@ def extract_batches(
             cols["url"].append(url)
             cols["extracted_text"].append(rec["extracted_text"])
             cols["article_text"].append(rec["article_text"])
+            cols["extracted_md"].append(rec.get("extracted_md"))
             cols["content_node_spans"].append(rec["content_node_spans"])
             cols["node_count"].append(rec["node_count"])
             cols["status"].append(rec["status"])

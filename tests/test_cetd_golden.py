@@ -90,6 +90,7 @@ def test_print_tree_node_count_test_2():
     # src/cetd.rs:541-549: debug print = 18 lines = 2 braces + 16 non-root
     dt = DensityTree.from_html(fixture_html("test_2.html"))
     assert dt.node_count() == 17
+    assert len(dt.debug_format().splitlines()) == 18
 
 
 def test_densest_node_test_4():

@@ -1,0 +1,60 @@
+"""Multimodal plumbing: schema, batching, stub decode, error paths."""
+
+import pytest
+
+from dce_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    DecodeBackend,
+    FakeDecodeBackend,
+    media_features,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes 1", "image/png", 16, 16, None),
+        (2, "image", b"\x89PNG fake bytes 2", "image/png", 16, 16, None),
+        (3, "audio", b"RIFF fake wav", "audio/wav", None, None, 1000),
+        (4, "video", b"\x00\x00ftyp fake mp4", "video/mp4", None, None, 2000),
+        (5, "image", None, "image/png", None, None, None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_feature_extraction_shapes(media):
+    out = {r.media_id: r for r in media_features(media).collect()}
+    assert len(out) == 5
+    assert out[1].status == "ok" and len(out[1].feature) == 12
+    assert out[3].status == "ok" and len(out[3].feature) == 10
+    assert out[4].status == "unsupported" and out[4].feature is None
+    assert out[5].status == "empty"
+
+
+def test_features_deterministic(media):
+    a = {r.media_id: r.feature for r in media_features(media).collect()}
+    b = {r.media_id: r.feature for r in media_features(media).collect()}
+    assert a == b
+    assert a[1] != a[2]  # different payloads -> different features
+
+
+def test_real_backend_is_stubbed(media):
+    class RealBackendPlaceholder(DecodeBackend):
+        pass
+
+    out = {
+        r.media_id: r.status
+        for r in media_features(media, backend=RealBackendPlaceholder()).collect()
+    }
+    # without codec libraries the decode raises NotImplementedError,
+    # surfaced as a status code — never a task failure
+    assert out[1] == "no_backend"
+    assert out[3] == "no_backend"
+
+
+def test_payload_hash_lineage(media):
+    out = {r.media_id: r for r in media_features(media).collect()}
+    assert out[1].payload_sha1 and len(out[1].payload_sha1) == 40
+    assert out[5].payload_sha1 is None

@@ -1,0 +1,54 @@
+"""Physical-plan shape assertions — the plans we designed for must be
+the plans Catalyst actually picks."""
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_revenue_join_broadcasts_nation(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_revenue_by_nation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_pricing_summary"](spark, SF))
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # partial below
+    # scan reads only the 4 needed columns
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double" in plan
+
+
+def test_dedup_stays_codegen(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_exact_dedup"](spark, SF))
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "Python" not in plan  # no Python in the dedup path
+
+
+def test_extraction_plan_shape(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["cetd_extract_content"](spark, SF))
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    # exactly one exchange: the explicit salting repartition
+    assert plan.count("Exchange") <= 2  # salt + union alignment
+
+
+def test_brute_topk_broadcasts_queries(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["emb_brute_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
