@@ -284,6 +284,47 @@ WITH toks AS (
 """
 
 
+def _cosine_sql(q_filter: str, c_filter: str, extra_q: str = "", extra_c: str = "",
+                join_cond: str = "") -> str:
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q{extra_q}
+          FROM embeddings WHERE {q_filter}
+        ), c AS (
+          SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c{extra_c}
+          FROM embeddings WHERE {c_filter}
+        ), scored AS (
+          SELECT query_id, cand_id,
+                 round(list_dot_product(q.q, c.c)
+                   / (sqrt(list_dot_product(q.q, q.q))
+                      * sqrt(list_dot_product(c.c, c.c))), 6) AS cosine_r
+          FROM c JOIN q ON {join_cond or 'true'}
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(cand_id AS BIGINT) AS cand_id,
+               CAST(rn AS BIGINT) AS rank, cosine_r
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_r DESC, cand_id) AS rn FROM scored)
+        WHERE rn <= 5
+    """
+
+
+def _lsh_bucket_sql_expr(col: str, n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB expression computing the same deterministic integer-
+    hyperplane bucket as simsearch.lsh_bucket_col."""
+    from dce_spark.functions.simsearch import _hyperplane_weights
+
+    planes = _hyperplane_weights(n_planes, dim)
+    bits = []
+    for p, w in enumerate(planes):
+        lst = "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({col}, {lst}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_exact_dedup": """
@@ -400,6 +441,16 @@ def oracle_sql() -> dict[str, str]:
                    round(cosine, 6) AS cosine_r
             FROM scored WHERE cosine >= 0.25
         """,
+        "emb_brute_topk": _cosine_sql("vec_id < 10", "vec_id >= 10"),
+        "emb_lsh_topk": _cosine_sql(
+            "vec_id < 10",
+            "vec_id >= 10",
+            extra_q=", " + _lsh_bucket_sql_expr("CAST(embedding AS DOUBLE[])")
+            + " AS bucket",
+            extra_c=", " + _lsh_bucket_sql_expr("CAST(embedding AS DOUBLE[])")
+            + " AS bucket",
+            join_cond="q.bucket = c.bucket",
+        ),
         "events_sessionize": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events

@@ -71,11 +71,16 @@ def brute_force_topk(
     )
     scored = (
         cands.crossJoin(F.broadcast(queries))
-        .withColumn("cosine", cosine_similarity_col(F.col("q_emb"), F.col("c_emb")))
-        .select("query_id", "cand_id", "cosine")
+        .withColumn(
+            "cosine_r",
+            F.round(cosine_similarity_col(F.col("q_emb"), F.col("c_emb")), 6),
+        )
+        .select("query_id", "cand_id", "cosine_r")
     )
+    # rank on the ROUNDED score (ties then by cand_id): deterministic
+    # and engine-independent, unlike raw-f64 ordering at ULP distance
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
+        F.col("cosine_r").desc(), F.col("cand_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -84,7 +89,7 @@ def brute_force_topk(
             F.col("query_id").cast("long").alias("query_id"),
             F.col("cand_id").cast("long").alias("cand_id"),
             F.col("rank").cast("long").alias("rank"),
-            F.round("cosine", 6).alias("cosine_r"),
+            F.col("cosine_r"),
         )
     )
 
@@ -163,11 +168,14 @@ def lsh_topk(
     )
     scored = (
         cands.join(F.broadcast(queries), "bucket")
-        .withColumn("cosine", cosine_similarity_col(F.col("q_emb"), F.col("c_emb")))
-        .select("query_id", "cand_id", "cosine")
+        .withColumn(
+            "cosine_r",
+            F.round(cosine_similarity_col(F.col("q_emb"), F.col("c_emb")), 6),
+        )
+        .select("query_id", "cand_id", "cosine_r")
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
+        F.col("cosine_r").desc(), F.col("cand_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -176,6 +184,6 @@ def lsh_topk(
             F.col("query_id").cast("long").alias("query_id"),
             F.col("cand_id").cast("long").alias("cand_id"),
             F.col("rank").cast("long").alias("rank"),
-            F.round("cosine", 6).alias("cosine_r"),
+            F.col("cosine_r"),
         )
     )
