@@ -83,6 +83,35 @@ def _q_cetd_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cetd_eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CleanEval-style scoring pipeline (reference examples/ce_score.rs):
+    extraction vs a synthetic gold table built from the same corpus —
+    scores must be ~perfect by construction, evidencing the whole
+    join -> applyInPandas -> agg pipeline."""
+    from dce_spark.spark.corpus import build_pages_df
+    from dce_spark.spark.evaljob import mean_scores, score_pairs
+    from dce_spark.spark.pipeline import extract_pages
+
+    pages = build_pages_df(spark, n_synthetic=24, include_fixtures=False)
+    extracted = extract_pages(pages, mode="content", num_partitions=4).select(
+        F.col("url").alias("stem"), "extracted_text"
+    )
+    gold = extracted.select(
+        "stem",
+        F.concat(F.lit("http://gold.url/line\n"), F.col("extracted_text")).alias(
+            "gold_text"
+        ),
+    )
+    scores = score_pairs(extracted, gold)
+    return mean_scores(scores).select(
+        "files",
+        F.round("avg_precision", 2).alias("avg_precision_r"),
+        F.round("avg_recall", 2).alias("avg_recall_r"),
+        F.round("avg_f1", 2).alias("avg_f1_r"),
+        F.round("avg_dice", 2).alias("avg_dice_r"),
+    )
+
+
 def _q_doc_exact_dedup(spark, sf_dir):
     from dce_spark.functions.textops import exact_dedup
 
@@ -246,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cetd_extract_content": _q_cetd_content,
         "cetd_extract_article": _q_cetd_article,
         "cetd_extract_markdown": _q_cetd_markdown,
+        "cetd_eval_scores": _q_cetd_eval_scores,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
         "doc_quality_score": _q_doc_quality,

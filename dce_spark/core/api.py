@@ -50,10 +50,16 @@ def extract_page(html: bytes | str, mode: str = "both") -> dict[str, Any]:
             "node_count": dtree.node_count(),
             "status": "ok",
             "primary_script": "",
+            "content_links": [],
         }
         if mode in ("content", "both", "all"):
             extracted, spans = dtree.extract_content(with_spans=True)
             out["extracted_text"] = extracted
+            # power-user surface parity: get_node_links of the densest
+            # node (reference src/lib.rs:49-65 + utils.rs:407-421)
+            sn = dtree.sorted_nodes()
+            if len(sn):
+                out["content_links"] = dtree.node_links(int(sn[-1]))
             out["content_node_spans"] = [
                 {"node_index": n, "start": s, "end": e} for n, s, e in spans
             ]
@@ -75,4 +81,5 @@ def extract_page(html: bytes | str, mode: str = "both") -> dict[str, Any]:
             "node_count": 0,
             "status": f"error:{type(exc).__name__}",
             "primary_script": "",
+            "content_links": [],
         }

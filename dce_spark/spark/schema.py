@@ -36,6 +36,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("node_count", T.IntegerType(), True),
         T.StructField("status", T.StringType(), True),
         T.StructField("primary_script", T.StringType(), True),
+        T.StructField("content_links", T.ArrayType(T.StringType()), True),
         T.StructField("bytes_in", T.LongType(), True),
     ]
 )

@@ -41,6 +41,7 @@ _ARROW_OUT = pa.schema(
         pa.field("node_count", pa.int32()),
         pa.field("status", pa.string()),
         pa.field("primary_script", pa.string()),
+        pa.field("content_links", pa.list_(pa.string())),
         pa.field("bytes_in", pa.int64()),
     ]
 )
@@ -83,6 +84,7 @@ def extract_batches(
             cols["node_count"].append(rec["node_count"])
             cols["status"].append(rec["status"])
             cols["primary_script"].append(rec["primary_script"])
+            cols["content_links"].append(rec.get("content_links", []))
             cols["bytes_in"].append(nbytes)
             budget += nbytes + len(rec["extracted_text"]) + len(rec["article_text"])
             if budget >= _OUT_BUDGET_BYTES or len(cols["url"]) >= _OUT_BUDGET_ROWS:

@@ -1,0 +1,56 @@
+"""Structured Streaming wrapper: file source -> extraction -> parquet
+sink with checkpoint (exactly-once across restarts)."""
+
+import time
+
+import pytest
+
+from dce_spark.spark.corpus import build_pages_df
+from dce_spark.streaming.stream import stream_extract
+
+pytestmark = pytest.mark.spark
+
+
+def _wait_done(query, timeout=120):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        return
+    raise TimeoutError
+
+
+def test_stream_extracts_and_is_exactly_once(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    inp, outp, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+
+    pages = build_pages_df(spark, n_synthetic=12, include_fixtures=False,
+                           partitions=2)
+    pages.write.parquet(inp, mode="overwrite")
+
+    q = stream_extract(spark, inp, outp, ckpt, max_files_per_trigger=1)
+    try:
+        _wait_done(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(outp)
+    assert out.count() == 12
+    assert out.filter("status = 'ok'").count() == 12
+    assert out.select("url").distinct().count() == 12
+
+    # second batch of NEW files; restart from checkpoint must process
+    # only the new files (no duplicates of the old rows)
+    more = build_pages_df(spark, n_synthetic=30, include_fixtures=False,
+                          partitions=2).filter("url like '%/2_'")
+    n_more = more.count()
+    more.write.mode("append").parquet(inp)
+
+    q2 = stream_extract(spark, inp, outp, ckpt, max_files_per_trigger=1)
+    try:
+        _wait_done(q2)
+    finally:
+        q2.stop()
+
+    out2 = spark.read.parquet(outp)
+    assert out2.count() == out2.select("url").distinct().count()
+    assert out2.count() >= 12
