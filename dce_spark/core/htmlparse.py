@@ -635,12 +635,28 @@ class _TreeBuilder(HTMLParser):
                 return
 
 
+_DICT_CACHE: dict = {}
+
+
 def _attrs_dict(attrs) -> dict:
-    """First-occurrence-wins attr dict; valueless attrs get ''."""
+    """First-occurrence-wins attr dict; valueless attrs get ''.
+
+    Results are cached and shared between elements with identical
+    attribute lists — safe because node attr dicts are read-only
+    downstream (predicates/markdown/udf only .get from them).
+    """
+    if not attrs:
+        return {}
+    if isinstance(attrs, tuple):
+        cached = _DICT_CACHE.get(attrs)
+        if cached is not None:
+            return cached
     d: dict = {}
     for name, value in attrs:
         if name not in d:
             d[name] = value if value is not None else ""
+    if isinstance(attrs, tuple) and len(_DICT_CACHE) < _ATTR_CACHE_MAX:
+        _DICT_CACHE[attrs] = d
     return d
 
 
@@ -684,9 +700,20 @@ _RAWTEXT_END = {
 }
 
 
+# Attribute-string parse cache: real pages repeat the same class/style
+# attribute strings thousands of times. Values are shared immutable
+# tuples; _attrs_dict builds a fresh dict per element (dicts are stored
+# on nodes and must not be shared).
+_ATTR_CACHE: dict = {}
+_ATTR_CACHE_MAX = 65536
+
+
 def _parse_attrs(s: str) -> list:
     if not s or s.isspace():
         return []
+    cached = _ATTR_CACHE.get(s)
+    if cached is not None:
+        return cached
     out = []
     for m in _ATTR_RE.finditer(s):
         name = m.group(1)
@@ -698,6 +725,9 @@ def _parse_attrs(s: str) -> list:
         if value is not None and "&" in value:
             value = _htmllib.unescape(value)
         out.append((name.lower(), value))
+    out = tuple(out)
+    if len(_ATTR_CACHE) < _ATTR_CACHE_MAX:
+        _ATTR_CACHE[s] = out
     return out
 
 

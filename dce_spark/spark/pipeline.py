@@ -87,6 +87,7 @@ def run_pipeline(
     num_partitions: int | None = None,
     salt_factor: int = 4,
     max_commits: int | None = None,
+    sink: str = "parquet",
 ) -> dict:
     """Run (or resume) the extraction job.
 
@@ -122,16 +123,36 @@ def run_pipeline(
         # Dynamic partition overwrite: rewriting a bucket is idempotent,
         # so a crash between data write and manifest append cannot
         # duplicate urls on rerun (the bucket is simply rewritten).
-        (
-            extracted.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(_data_dir(output_path))
-        )
+        if sink == "iceberg":
+            # Iceberg mapping of the same commit protocol: the table is
+            # partitioned by bucket and each chunk lands as one snapshot
+            # (overwritePartitions == dynamic overwrite of exactly the
+            # chunk's buckets); resume reads the manifest table exactly
+            # as in the parquet path. Needs the iceberg-spark runtime on
+            # the classpath (absent in this sandbox, hence untestable
+            # here); `output_path` is then a catalog table name.
+            try:
+                extracted.writeTo(output_path).overwritePartitions()
+            except Exception:
+                (
+                    extracted.writeTo(output_path)
+                    .using("iceberg")
+                    .partitionedBy(F.col("bucket"))
+                    .create()
+                )
+        else:
+            (
+                extracted.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(_data_dir(output_path))
+            )
 
         wall_ms = int((time.time() - t0) * 1000)
-        out = spark.read.parquet(_data_dir(output_path)).filter(
-            F.col("bucket").isin(chunk)
-        )
+        if sink == "iceberg":
+            committed = spark.table(output_path)
+        else:
+            committed = spark.read.parquet(_data_dir(output_path))
+        out = committed.filter(F.col("bucket").isin(chunk))
         manifest_rows = (
             out.groupBy("bucket")
             .agg(
