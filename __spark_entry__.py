@@ -124,6 +124,12 @@ def _q_doc_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
 
+def _q_doc_token_count_bpe(spark, sf_dir):
+    from dce_spark.functions.textops import token_count_bpe
+
+    return token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
 def _q_doc_quality(spark, sf_dir):
     from dce_spark.functions.textops import quality_score
 
@@ -278,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cetd_eval_scores": _q_cetd_eval_scores,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
+        "doc_token_count_bpe": _q_doc_token_count_bpe,
         "doc_quality_score": _q_doc_quality,
         "doc_lang_distribution": _q_doc_lang_distribution,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -365,6 +372,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+            FROM documents
+        """,
+        "doc_token_count_bpe": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+                     AS bpe_token_count
             FROM documents
         """,
         "doc_quality_score": """

@@ -56,6 +56,23 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 family shape, restricted to
+# constructs whose semantics are identical in Java regex and RE2):
+# letter runs, digit runs, single non-alphanumeric non-space chars.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """Subword-style token counting via regex pre-tokenization — the
+    cheap cross-engine-deterministic stand-in for a real BPE pass."""
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_token_count"),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features."""
     toks = tokens_col()
