@@ -92,9 +92,16 @@ def _q_cetd_eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dce_spark.spark.evaljob import mean_scores, score_pairs
     from dce_spark.spark.pipeline import extract_pages
 
-    pages = build_pages_df(spark, n_synthetic=24, include_fixtures=False)
-    extracted = extract_pages(pages, mode="content", num_partitions=4).select(
-        F.col("url").alias("stem"), "extracted_text"
+    pages = build_pages_df(spark, n_synthetic=24, include_fixtures=True)
+    extracted = (
+        extract_pages(pages, mode="content", num_partitions=4)
+        .select(F.col("url").alias("stem"), "extracted_text")
+        # score CleanEval-sized documents (the reference's corpus is a
+        # few KB per file); word-LCS is O(m*n) per pair by design
+        .filter(
+            (F.length("extracted_text") > 0)
+            & (F.length("extracted_text") < 8000)
+        )
     )
     gold = extracted.select(
         "stem",

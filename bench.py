@@ -107,7 +107,7 @@ def main() -> None:
     n_rows = _ensure_corpus(spark)
     _extract_job(spark, limit=min(500, N_PAGES))
     t_full = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         _extract_job(spark)
         w = time.time() - t0
