@@ -173,6 +173,12 @@ def _q_doc_minhash_bands(spark, sf_dir):
     return minhash_bands(_t(spark, sf_dir, "documents"))
 
 
+def _q_doc_minhash_dedup(spark, sf_dir):
+    from dce_spark.functions.textops import minhash_dedup
+
+    return minhash_dedup(_t(spark, sf_dir, "documents"))
+
+
 def _q_doc_simhash(spark, sf_dir):
     from dce_spark.functions.textops import simhash64
 
@@ -298,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_minhash_bands": _q_doc_minhash_bands,
+        "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash": _q_doc_simhash,
         "emb_cosine_threshold": _q_emb_cosine_threshold,
         "emb_brute_topk": _q_emb_brute_topk,
@@ -472,6 +479,34 @@ def oracle_sql() -> dict[str, str]:
                    md5(m0 || m1 || m2 || m3) AS band_a,
                    md5(m4 || m5 || m6 || m7) AS band_b
             FROM sig
+        """,
+        "doc_minhash_dedup": _SHINGLES_CTE + """
+            , sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || shingle)) AS m0,
+                     min(md5('1:' || shingle)) AS m1,
+                     min(md5('2:' || shingle)) AS m2,
+                     min(md5('3:' || shingle)) AS m3,
+                     min(md5('4:' || shingle)) AS m4,
+                     min(md5('5:' || shingle)) AS m5,
+                     min(md5('6:' || shingle)) AS m6,
+                     min(md5('7:' || shingle)) AS m7
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, md5(m0 || m1 || m2 || m3) AS band FROM sig
+              UNION ALL
+              SELECT doc_id, md5(m4 || m5 || m6 || m7) AS band FROM sig
+            ), keeper AS (
+              SELECT band, min(doc_id) AS keep_id FROM bands GROUP BY band
+            ), decided AS (
+              SELECT b.doc_id, min(k.keep_id) AS keep_id
+              FROM bands b JOIN keeper k USING (band)
+              GROUP BY b.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(keep_id AS BIGINT) AS keep_id,
+                   doc_id = keep_id AS is_kept
+            FROM decided
         """,
         "emb_cosine_threshold": """
             WITH q AS (

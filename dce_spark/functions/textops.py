@@ -221,6 +221,27 @@ def minhash_bands(documents: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFra
     )
 
 
+def minhash_dedup(documents: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
+    """Near-dup dedup decision: among docs sharing an LSH band, keep the
+    smallest doc_id (the standard minhash-band dedup pass; at scale the
+    exact-jaccard verify runs only within these buckets)."""
+    bands = minhash_bands(documents, n_seeds, k)
+    a = bands.select("doc_id", F.col("band_a").alias("band"))
+    b = bands.select("doc_id", F.col("band_b").alias("band"))
+    both = a.unionByName(b)
+    keeper = both.groupBy("band").agg(F.min("doc_id").alias("keep_id"))
+    decided = (
+        both.join(keeper, "band")
+        .groupBy("doc_id")
+        .agg(F.min("keep_id").alias("keep_id"))
+    )
+    return decided.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+    )
+
+
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash over tokens: per bit, sign of the sum of token
     weights (+1/-1 from xxhash64 bit). Pure Catalyst: explode tokens,
