@@ -51,6 +51,7 @@ def extract_page(html: bytes | str, mode: str = "both") -> dict[str, Any]:
             "status": "ok",
             "primary_script": "",
             "content_links": [],
+            "extracted_md": None,
         }
         if mode in ("content", "both", "all"):
             extracted, spans = dtree.extract_content(with_spans=True)
@@ -82,4 +83,5 @@ def extract_page(html: bytes | str, mode: str = "both") -> dict[str, Any]:
             "status": f"error:{type(exc).__name__}",
             "primary_script": "",
             "content_links": [],
+            "extracted_md": None,
         }

@@ -278,9 +278,11 @@ class DensityTree:
         return " ".join(frags)
 
     # ------------------------------------------------------------------
-    def _selection_threshold(self, max_idx: int) -> np.float32:
+    def _selection_threshold(self, max_idx: int, default=None) -> np.float32:
         """f32 mean of ancestor densities walking parent -> root
-        (src/cetd.rs:324-333)."""
+        (src/cetd.rs:324-333). ``default`` is returned when the max node
+        has no ancestors: the text path uses the node's own density,
+        the markdown path uses 0.0 (src/markdown.rs:30-34)."""
         acc = np.float32(0.0)
         count = 0
         p = int(self.parent[max_idx])
@@ -289,8 +291,25 @@ class DensityTree:
             count += 1
             p = int(self.parent[p])
         if count == 0:
-            return self.density[max_idx]
+            return self.density[max_idx] if default is None else np.float32(default)
         return np.float32(acc / np.float32(count))
+
+    def walk_to_container(self, dom_idx: int) -> int:
+        """Walk up <=5 DOM parents to the nearest container element
+        (src/cetd.rs:421-433 / src/markdown.rs:84-105), then wrap up to
+        the nearest element (src/markdown.rs:107-114)."""
+        doc = self.doc
+        current = dom_idx
+        for _ in range(5):
+            parent = doc.parent[current]
+            if parent < 0:
+                break
+            current = parent
+            if doc.kind[current] != KIND_TEXT and doc.tag[current] in CONTAINER_TAGS:
+                break
+        while current >= 0 and doc.kind[current] == KIND_TEXT:
+            current = doc.parent[current]
+        return max(current, 0)
 
     def content_node_indices(self) -> np.ndarray:
         """Largest contiguous pre-order block with density >= threshold
@@ -348,16 +367,8 @@ class DensityTree:
         max_idx = self.get_max_density_sum_node()
         if max_idx < 0:
             return ""
-        current = int(self.dom_index[max_idx])
-        doc = self.doc
-        for _ in range(5):
-            parent = doc.parent[current]
-            if parent < 0:
-                break
-            current = parent
-            if doc.kind[current] != KIND_TEXT and doc.tag[current] in CONTAINER_TAGS:
-                break
-        return self._dom_node_text(current)
+        container = self.walk_to_container(int(self.dom_index[max_idx]))
+        return self._dom_node_text(container)
 
     # ------------------------------------------------------------------
     def node_links(self, density_idx: int) -> list[str]:

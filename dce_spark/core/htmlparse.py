@@ -106,6 +106,14 @@ _TABLE_PART_START = frozenset(
 # broken/adversarial crawl pages) stays O(n) instead of O(n^2) stack scans.
 _MAX_DEPTH = 512
 
+# Tags still pushed within a small guard band beyond the cap: dropping
+# the push for these would re-parent their (pruned/rawtext) payload into
+# the surrounding content.
+_CAP_EXEMPT = frozenset(
+    "script style svg math template canvas iframe noscript noembed "
+    "noframes xmp textarea title plaintext".split()
+)
+
 
 class Document:
     """Columnar DOM body subtree in pre-order document order.
@@ -154,8 +162,9 @@ class _TreeBuilder(HTMLParser):
         self.n_tag[0] = "body"
         self.n_attrs[0] = {}
         self.n_text[0] = None
-        # open-element stack: (node_idx, tag, content_is_foreign)
-        self.stack: list = [(0, "body", False)]
+        # open-element stack entries:
+        # (node_idx, tag, content_is_foreign, is_integration_point)
+        self.stack: list = [(0, "body", False, False)]
         self.in_body = False
         self.quirks = True  # no doctype => quirks mode
         self.table_depth = 0
@@ -195,25 +204,27 @@ class _TreeBuilder(HTMLParser):
             self.table_depth -= 1
         return entry
 
-    def _push(self, idx: int, tag: str, foreign: bool) -> None:
-        self.stack.append((idx, tag, foreign))
+    def _push(self, idx: int, tag: str, foreign: bool,
+              integration: bool = False) -> None:
+        self.stack.append((idx, tag, foreign, integration))
         if tag == "table":
             self.table_depth += 1
 
     # ---- scope / implied end tags --------------------------------------
 
     def _has_in_scope(self, tag: str, extra=()) -> bool:
-        for idx, t, foreign in reversed(self.stack):
+        for _idx, t, _foreign, integration in reversed(self.stack):
             if t == tag:
                 return True
             if t in _DEFAULT_SCOPE_STOP or t in extra:
                 return False
-            if foreign and t in _HTML_INTEGRATION:
+            if integration:
+                # SVG/MathML HTML-integration points are scope barriers
                 return False
         return False
 
     def _has_in_table_scope(self, tag: str) -> bool:
-        for _idx, t, _f in reversed(self.stack):
+        for _idx, t, _f, _i in reversed(self.stack):
             if t == tag:
                 return True
             if t in ("html", "table", "template"):
@@ -247,7 +258,7 @@ class _TreeBuilder(HTMLParser):
 
     def _foster_target(self):
         """Return (parent, index) to insert before the innermost table."""
-        for idx, t, _f in reversed(self.stack):
+        for idx, t, _f, _i in reversed(self.stack):
             if t == "table":
                 parent = self.n_parent[idx]
                 if parent < 0:
@@ -308,26 +319,47 @@ class _TreeBuilder(HTMLParser):
         else:
             idx = self._new_node(tag, attrs, None)
             self._append_child(self._cur(), idx)
-        if push and len(self.stack) < _MAX_DEPTH:
+        if push and (
+            len(self.stack) < _MAX_DEPTH
+            or (tag in _CAP_EXEMPT and len(self.stack) < _MAX_DEPTH + 32)
+        ):
+            # beyond the depth cap, skip-subtree/rawtext containers are
+            # still pushed (within a small guard band) so their payloads
+            # stay inside them and keep being pruned from content
             child_foreign = foreign and tag not in _HTML_INTEGRATION
-            self._push(idx, tag, child_foreign)
+            integration = foreign and tag in _HTML_INTEGRATION
+            self._push(idx, tag, child_foreign, integration)
         return idx
 
     # ---- tokenizer callbacks -------------------------------------------
 
     def handle_decl(self, decl: str) -> None:
         d = decl.strip().lower()
-        if d.startswith("doctype"):
-            name = d[7:].strip()
-            # html5 doctype and most public doctypes with system ids are
-            # no-quirks; absent doctype stays quirks. Good enough for the
-            # table-closes-p decision this flag feeds.
-            if name == "html" or "//w3c//dtd" in name and "system" not in name:
-                self.quirks = "transitional//en\"" in name and '"http' not in name
-            if name == "html":
-                self.quirks = False
-            elif name.startswith("html public"):
-                self.quirks = False
+        if not d.startswith("doctype"):
+            return
+        rest = d[7:].strip()
+        if rest in ("html", 'html system "about:legacy-compat"'):
+            self.quirks = False  # the html5 doctype
+            return
+        if "public" in rest:
+            # Legacy public doctypes: quirks when a known-quirky public
+            # id appears WITHOUT a system id (per the spec's quirks
+            # table); with a system id they are (limited-)quirks-free
+            # for the only decision this flag feeds (p-close-before-
+            # table happens in no-quirks and limited-quirks alike).
+            has_system = '"http' in rest or "'http" in rest
+            quirky = (
+                "transitional//" in rest
+                or "frameset//" in rest
+                or "html 3.2" in rest
+                or "html 2.0" in rest
+                or "//ietf//" in rest
+                or "html//en" in rest
+            )
+            self.quirks = quirky and not has_system
+            return
+        # any other doctype (unknown name / bogus): quirks stays True
+        self.quirks = rest != "html"
 
     def handle_data(self, data: str) -> None:
         if self._strip_nl:
@@ -404,7 +436,7 @@ class _TreeBuilder(HTMLParser):
         if tag in ("svg", "math"):
             idx = self._new_node(tag, a, None)
             self._append_child(self._cur(), idx)
-            if len(self.stack) < _MAX_DEPTH:
+            if len(self.stack) < _MAX_DEPTH + 32:
                 self._push(idx, tag, True)
             return
 
@@ -443,7 +475,7 @@ class _TreeBuilder(HTMLParser):
 
         if tag in ("li", "dd", "dt"):
             closers = ("li",) if tag == "li" else ("dd", "dt")
-            for _idx, t, _f in reversed(self.stack):
+            for _idx, t, _f, _i in reversed(self.stack):
                 if t in closers:
                     self._generate_implied_end_tags(exclude=t)
                     self._pop_through(t)

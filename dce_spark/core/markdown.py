@@ -24,7 +24,7 @@ the byte-identical invariant applies to the text path only.
 
 from __future__ import annotations
 
-from dce_spark.core.cetd import CONTAINER_TAGS, DensityTree
+from dce_spark.core.cetd import DensityTree
 from dce_spark.core.htmlparse import KIND_TEXT, Document
 from dce_spark.core.predicates import should_skip_element
 from dce_spark.core.textnorm import ascii_lower
@@ -211,14 +211,8 @@ def extract_content_as_markdown(dtree: DensityTree) -> str:
         return ""
 
     # threshold: mean ancestor density, 0.0 when no ancestors
-    acc = np.float32(0.0)
-    count = 0
-    p = int(dtree.parent[max_idx])
-    while p >= 0:
-        acc = np.float32(acc + dtree.density[p])
-        count += 1
-        p = int(dtree.parent[p])
-    threshold = np.float32(acc / np.float32(count)) if count else np.float32(0.0)
+    # (markdown.rs:30-34 — deliberately not the text path's fallback)
+    threshold = dtree._selection_threshold(max_idx, default=0.0)
 
     with np.errstate(invalid="ignore"):
         mask = (dtree.density >= threshold) & (dtree.density_sum > 0.0)
@@ -226,23 +220,11 @@ def extract_content_as_markdown(dtree: DensityTree) -> str:
     doc = dtree.doc
     max_dom = int(dtree.dom_index[max_idx])
 
-    def nearest_element(i: int) -> int:
+    if not mask.any():
+        # single-node fallback: nearest element ancestor of the max node
+        i = max_dom
         while i >= 0 and doc.kind[i] == KIND_TEXT:
             i = doc.parent[i]
-        return max(i, 0)
+        return render_markdown(doc, max(i, 0))
 
-    if not mask.any():
-        return render_markdown(doc, nearest_element(max_dom))
-
-    # container walk-up (<=5 parents to a container tag), then wrap up
-    # to the nearest element
-    current = max_dom
-    for _ in range(5):
-        parent = doc.parent[current]
-        if parent < 0:
-            break
-        current = parent
-        if doc.kind[current] != KIND_TEXT and doc.tag[current] in CONTAINER_TAGS:
-            break
-    current = nearest_element(current)
-    return render_markdown(doc, current)
+    return render_markdown(doc, dtree.walk_to_container(max_dom))

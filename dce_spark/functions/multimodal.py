@@ -101,8 +101,10 @@ def _extract_features(
                     )
                 elif rec.kind == "audio":
                     sig = backend.decode_audio(bytes(payload))
+                    if len(sig) < 8:  # too short to frame: zero-pad
+                        sig = np.pad(sig, (0, 8 - len(sig)))
                     # frame-level energy profile (8 frames) + rms + zc rate
-                    frames = sig[: 1024 - (len(sig) % 8 or 8)].reshape(8, -1)
+                    frames = sig[: len(sig) - (len(sig) % 8)].reshape(8, -1)
                     feat = np.concatenate(
                         [
                             np.sqrt((frames**2).mean(axis=1)),
@@ -118,6 +120,11 @@ def _extract_features(
                 )
             except NotImplementedError:
                 rows.append((rec.media_id, rec.kind, "no_backend", None, sha1))
+            except Exception as exc:  # total per row, like extraction
+                rows.append(
+                    (rec.media_id, rec.kind, f"error:{type(exc).__name__}",
+                     None, sha1)
+                )
         yield pd.DataFrame(
             rows, columns=["media_id", "kind", "status", "feature", "payload_sha1"]
         )

@@ -214,8 +214,9 @@ def minhash_bands(documents: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFra
         for s in range(n_seeds)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
-    band_a = F.md5(F.concat(*[F.col(f"m{s}") for s in range(0, 4)]))
-    band_b = F.md5(F.concat(*[F.col(f"m{s}") for s in range(4, 8)]))
+    half = n_seeds // 2
+    band_a = F.md5(F.concat(*[F.col(f"m{s}") for s in range(0, half)]))
+    band_b = F.md5(F.concat(*[F.col(f"m{s}") for s in range(half, n_seeds)]))
     return sig.select(
         "doc_id", band_a.alias("band_a"), band_b.alias("band_b")
     )

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -45,24 +44,33 @@ def clean_gold_text(raw: str) -> str:
 
 
 def word_lcs_chars(s1: str, s2: str) -> int:
-    """Word-level LCS scaled to ~chars (ce_score.rs:73-113)."""
+    """Word-level LCS scaled to ~chars (ce_score.rs:73-113).
+
+    Two-row DP over interned word ids; plain-list cells (scalar numpy
+    indexing is several times slower per cell)."""
     w1 = s1.split()
     w2 = s2.split()
     m, n = len(w1), len(w2)
     if m == 0 or n == 0:
         return 0
-    # O(m*n) DP with numpy row updates
-    prev = np.zeros(n + 1, dtype=np.int32)
-    a2 = np.array(w2, dtype=object)
-    for i in range(1, m + 1):
-        curr = np.zeros(n + 1, dtype=np.int32)
-        eq = a2 == w1[i - 1]
+    # intern words to small ints so the inner compare is int ==
+    ids: dict[str, int] = {}
+    a1 = [ids.setdefault(w, len(ids)) for w in w1]
+    a2 = [ids.setdefault(w, len(ids)) for w in w2]
+    prev = [0] * (n + 1)
+    for i in range(m):
+        curr = [0] * (n + 1)
+        x = a1[i]
+        cj = 0  # curr[j-1]
+        pj_1 = prev  # row above
         for j in range(1, n + 1):
-            if eq[j - 1]:
-                curr[j] = prev[j - 1] + 1
+            if a2[j - 1] == x:
+                cj = pj_1[j - 1] + 1
             else:
-                a, b = curr[j - 1], prev[j]
-                curr[j] = a if a >= b else b
+                up = pj_1[j]
+                if up > cj:
+                    cj = up
+            curr[j] = cj
         prev = curr
     lcs_words = int(prev[n])
     if lcs_words == 0:

@@ -34,7 +34,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dce_spark.spark.schema import MANIFEST_SCHEMA
+from dce_spark.spark.schema import EXTRACTED_SCHEMA, MANIFEST_SCHEMA
 from dce_spark.spark.udf import attach_extraction
 
 __all__ = ["salt_partitions", "extract_pages", "run_pipeline", "read_manifest"]
@@ -168,25 +168,39 @@ def run_pipeline(
             )
 
         wall_ms = int((time.time() - t0) * 1000)
-        if sink == "iceberg":
-            committed = spark.table(output_path)
-        else:
-            committed = spark.read.parquet(_data_dir(output_path))
-        out = committed.filter(F.col("bucket").isin(chunk))
-        manifest_rows = (
-            out.groupBy("bucket")
-            .agg(
-                F.count("*").alias("url_count"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias(
-                    "pages_ok"
-                ),
-                F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias(
-                    "pages_failed"
-                ),
-                F.lit(wall_ms).cast("long").alias("wall_ms"),
-                F.lit(_dt.datetime.now()).alias("committed_at"),
+        try:
+            if sink == "iceberg":
+                committed = spark.table(output_path)
+            else:
+                committed = spark.read.parquet(_data_dir(output_path))
+            out = committed.filter(F.col("bucket").isin(chunk))
+        except Exception:
+            # nothing written yet (an entirely-empty first chunk)
+            out = spark.createDataFrame([], EXTRACTED_SCHEMA).withColumn(
+                "bucket", F.lit(0).cast("int")
             )
+        agg = out.groupBy("bucket").agg(
+            F.count("*").alias("url_count"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias(
+                "pages_ok"
+            ),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias(
+                "pages_failed"
+            ),
+        )
+        # A bucket with zero input rows still needs a manifest row, or
+        # resume would reprocess it forever: left-join the chunk list.
+        chunk_df = spark.createDataFrame(
+            [(int(b),) for b in chunk], "bucket int"
+        )
+        manifest_rows = (
+            chunk_df.join(agg, "bucket", "left")
+            .na.fill(
+                {"url_count": 0, "bytes_in": 0, "pages_ok": 0, "pages_failed": 0}
+            )
+            .withColumn("wall_ms", F.lit(wall_ms).cast("long"))
+            .withColumn("committed_at", F.lit(_dt.datetime.now()))
             .select(*[f.name for f in MANIFEST_SCHEMA.fields])
         )
         manifest_rows.write.mode("append").parquet(_manifest_dir(output_path))

@@ -74,7 +74,12 @@ def extract_batches(
         for i in range(batch.num_rows):
             url = urls[i].as_py()
             raw = htmls[i].as_py()
-            nbytes = len(raw) if raw is not None else 0
+            if raw is None:
+                nbytes = 0
+            elif isinstance(raw, str):  # string column: measure bytes
+                nbytes = len(raw.encode("utf-8", errors="replace"))
+            else:
+                nbytes = len(raw)
             rec = extract_page(raw if raw is not None else b"", mode=mode)
             cols["url"].append(url)
             cols["extracted_text"].append(rec["extracted_text"])

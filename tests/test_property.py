@@ -63,8 +63,21 @@ def test_parse_total_and_tokenizers_agree(html):
     lower = html.lower()
     for raw in ("script", "style", "iframe", "textarea", "noscript",
                 "noembed", "noframes", "xmp", "title", "plaintext"):
-        if lower.count(f"<{raw}") > lower.count(f"</{raw}"):
-            return  # unterminated rawtext: stdlib drops it at EOF
+        # positional: every open must have a LATER close, else the
+        # rawtext runs to EOF (stdlib drops it there, spec keeps it)
+        pos = 0
+        unterminated = False
+        while True:
+            i = lower.find(f"<{raw}", pos)
+            if i < 0:
+                break
+            j = lower.find(f"</{raw}", i)
+            if j < 0:
+                unterminated = True
+                break
+            pos = j + 1
+        if unterminated:
+            return
     std = parse_html(html, tokenizer="stdlib")
     if (fast.kind, fast.tag, fast.text, fast.parent) != (
         std.kind, std.tag, std.text, std.parent,
