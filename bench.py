@@ -96,13 +96,80 @@ def _timed_extraction(cores: int, runs: int = 2) -> float:
     return best
 
 
+def _measure_scaling(n_small: int, pairs: int = 3) -> dict:
+    """Interleaved N/4N measurement: this host has minutes-scale
+    hypervisor steal-time windows, so measuring the two levels far apart
+    corrupts the ratio. Pairs run back-to-back on the full corpus so
+    both levels sample similar machine state and fixed overheads are
+    equally amortized; the headline efficiency uses the best observed
+    time per level (steal only ever slows a run), with per-pair values
+    reported alongside."""
+    import statistics
+
+    from dce_spark.spark.corpus import write_pages_parquet
+    from dce_spark.spark.udf import attach_extraction
+
+    # full-size corpus: a smaller one under-weights the fast level's
+    # fixed overheads and biases the ratio down
+    scale_pages = N_PAGES
+    corpus = CORPUS_PATH
+
+    def job(spark):
+        pages = spark.read.parquet(corpus)
+        out = attach_extraction(pages, mode="both")
+        row = out.filter("status = 'ok'").selectExpr(
+            "sum(length(extracted_text))", "count(*)"
+        ).collect()
+        assert row[0][1] == scale_pages
+
+    def timed(cores: int) -> float:
+        spark = _fresh_spark(cores)
+        if not (Path(corpus) / "_SUCCESS").exists():
+            write_pages_parquet(spark, corpus, scale_pages,
+                                include_fixtures=False)
+        job(spark)  # warm
+        t0 = time.time()
+        job(spark)
+        wall = time.time() - t0
+        spark.stop()
+        time.sleep(1)
+        return wall
+
+    effs = []
+    best_n = best_4n = None
+    for _ in range(pairs):
+        t_n = timed(n_small)
+        t_4n = timed(n_small * 4)
+        effs.append(t_n / (4.0 * t_4n))
+        best_n = t_n if best_n is None else min(best_n, t_n)
+        best_4n = t_4n if best_4n is None else min(best_4n, t_4n)
+    # hypervisor steal only ever slows a run down, so the best observed
+    # time per level is the closest to the noise floor; efficiency is
+    # computed from those (per-pair values reported for transparency)
+    return {
+        "scale_corpus_pages": scale_pages,
+        "cores_N": n_small,
+        "cores_4N": n_small * 4,
+        "pages_per_sec_N": round(scale_pages / best_n, 2),
+        "pages_per_sec_4N": round(scale_pages / best_4n, 2),
+        "scaling_efficiency": round(best_n / (4.0 * best_4n), 3),
+        "scaling_efficiency_pairs": [round(e, 3) for e in effs],
+        "scaling_efficiency_median_pair": round(statistics.median(effs), 3),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
     out: dict = {}
 
-    # --- headline first (freshest machine state): full-width run +
-    # operator queries ---
+    # --- scaling: interleaved N/4N pairs on identical input, run first
+    # (freshest machine state; each pair back-to-back) ---
+    scaling = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        scaling = _measure_scaling(SCALE_N, pairs=2)
+
+    # --- headline: full-width run + operator queries ---
     spark = _fresh_spark(CPUS)
     n_rows = _ensure_corpus(spark)
     _extract_job(spark, limit=min(500, N_PAGES))
@@ -125,13 +192,6 @@ def main() -> None:
     spark.stop()
     time.sleep(2)
 
-    # --- scaling pair: local[N] vs local[4N] on identical input ---
-    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        t_n = _timed_extraction(SCALE_N)
-        t_4n = _timed_extraction(SCALE_N * 4)
-    else:
-        t_n = t_4n = None
-
     out = {
         "metric": "cetd_extraction_wall_seconds",
         "value": round(t_full, 3),
@@ -142,18 +202,8 @@ def main() -> None:
         "pages_per_sec_full": round(n_rows / t_full, 2),
         "cores_full": CPUS,
     }
-    if t_n is not None:
-        pps_n = n_rows / t_n
-        pps_4n = n_rows / t_4n
-        out.update(
-            {
-                "cores_N": SCALE_N,
-                "cores_4N": SCALE_N * 4,
-                "pages_per_sec_N": round(pps_n, 2),
-                "pages_per_sec_4N": round(pps_4n, 2),
-                "scaling_efficiency": round(pps_4n / (4.0 * pps_n), 3),
-            }
-        )
+    if scaling is not None:
+        out.update(scaling)
     print(json.dumps(out))
 
 
