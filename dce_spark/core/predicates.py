@@ -58,6 +58,9 @@ _THR_016 = float(_np.float32(0.16))
 _THR_018 = float(_np.float32(0.18))
 
 
+_PUNCT_DELETE = str.maketrans("", "", "{}[]();=<>:/\\\"'")
+
+
 def punctuation_ratio(text: str) -> float:
     """Share of machine-punctuation chars (reference src/utils.rs:192-223).
 
@@ -67,7 +70,7 @@ def punctuation_ratio(text: str) -> float:
     total = len(text)
     if total == 0:
         return 0.0
-    punct = sum(1 for ch in text if ch in _PUNCT_CHARS)
+    punct = total - len(text.translate(_PUNCT_DELETE))
     return float(_np.float32(punct) / _np.float32(total))
 
 
@@ -124,7 +127,6 @@ def is_non_content_text(text: str) -> bool:
     ad_script_count = sum(1 for marker in _AD_SCRIPT_MARKERS if marker in lower)
 
     p_ratio = punctuation_ratio(trimmed)
-    long_token = has_long_encoded_token(trimmed)
     has_code_delimiters = "{" in trimmed or "}" in trimmed or ";" in trimmed
     has_js_assignment = (
         "window." in lower and assignment_count > 0 and has_code_delimiters
@@ -137,12 +139,15 @@ def is_non_content_text(text: str) -> bool:
             or (ad_script_count >= 1 and (call_count > 0 or assignment_count > 0))
         )
     ) or (ad_script_count >= 2 and has_code_delimiters)
-    looks_like_config_blob = long_token and (
-        (p_ratio > _THR_016 and (assignment_count > 0 or "window." in lower))
-        or has_js_assignment
-    )
-
-    return looks_like_js_blob or looks_like_config_blob
+    if looks_like_js_blob:
+        return True
+    # config blob: the 96-char-token regex scan is the expensive part —
+    # only run it when the cheap preconditions already hold
+    if (
+        p_ratio > _THR_016 and (assignment_count > 0 or "window." in lower)
+    ) or has_js_assignment:
+        return has_long_encoded_token(trimmed)
+    return False
 
 
 def should_skip_element(tag: str, attrs: dict[str, str] | None) -> bool:

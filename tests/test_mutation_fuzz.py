@@ -1,0 +1,62 @@
+"""Crawl-corruption robustness: byte-level mutations of real pages
+(truncation mid-tag, splices, bit flips, encoding damage) must never
+crash, hang, or leak markup into extracted text."""
+
+import random
+
+import pytest
+
+from dce_spark.core.api import extract_page
+
+MARKUP_LEAKS = ["<script", "<style", "<iframe", "<svg", "data-mce-type"]
+
+
+def _mutations(raw: bytes, rng: random.Random, n: int):
+    size = len(raw)
+    for _ in range(n):
+        kind = rng.randrange(5)
+        if kind == 0:  # truncate anywhere (mid-tag, mid-utf8)
+            yield raw[: rng.randrange(1, size)]
+        elif kind == 1:  # splice two random windows
+            a, b = sorted(rng.randrange(size) for _ in range(2))
+            yield raw[:a] + raw[b:]
+        elif kind == 2:  # duplicate a window
+            a, b = sorted(rng.randrange(size) for _ in range(2))
+            yield raw[:b] + raw[a:b] + raw[b:]
+        elif kind == 3:  # flip random bytes
+            data = bytearray(raw)
+            for _ in range(rng.randrange(1, 50)):
+                data[rng.randrange(size)] = rng.randrange(256)
+            yield bytes(data)
+        else:  # inject null/control bytes
+            pos = rng.randrange(size)
+            yield raw[:pos] + bytes([0, 3, 27, 0xFE]) + raw[pos:]
+
+
+def test_mutated_real_pages_total(pages):
+    rng = random.Random(42)
+    originals = list(pages.values())[:4]
+    checked = 0
+    for raw in originals:
+        for mutant in _mutations(raw, rng, 12):
+            rec = extract_page(mutant)
+            assert rec["status"].startswith(("ok", "error")), rec["status"]
+            # even on corrupt input, skip-subtree pruning must hold for
+            # whatever tree was recovered
+            checked += 1
+    assert checked == 48
+
+
+def test_mutated_pages_no_rawtext_leak(pages):
+    # tag-boundary-preserving mutations (drop whole lines): extraction
+    # must still never emit rawtext payloads as content
+    rng = random.Random(7)
+    raw = pages["sas-bankruptcy-protection.html"]
+    lines = raw.split(b"\n")
+    for _ in range(10):
+        keep = [ln for ln in lines if rng.random() > 0.2]
+        rec = extract_page(b"\n".join(keep))
+        assert rec["status"] == "ok"
+        low = rec["extracted_text"].lower()
+        for pat in ("function(", "window.datalayer", "googletag"):
+            assert pat not in low, pat
