@@ -376,6 +376,50 @@ def _lsh_bucket_sql_expr(col: str, n_planes: int = 6, dim: int = 64) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _simhash_sql() -> str:
+    """DuckDB mirror of textops.simhash64 (md5-hex-digit bits)."""
+    digit_cols = ",\n                ".join(
+        f"instr('0123456789abcdef', substr(hx, {k + 1}, 1)) - 1 AS d{k}"
+        for k in range(16)
+    )
+    bit_sums = ",\n                ".join(
+        f"sum(CASE WHEN (d{b // 4} & {1 << (b % 4)}) != 0 THEN 1 ELSE -1 END)"
+        f" AS b{b}"
+        for b in range(64)
+    )
+    fold_terms = []
+    for b in range(64):
+        if b == 63:
+            fold_terms.append(
+                f"(CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT)"
+                f" ELSE 0 END)"
+            )
+        else:
+            fold_terms.append(
+                f"(CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b})"
+                f" ELSE 0 END)"
+            )
+    fold = " + ".join(fold_terms)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), h AS (
+          SELECT doc_id, md5(tok) AS hx FROM toks
+        ), d AS (
+          SELECT doc_id,
+                {digit_cols}
+          FROM h
+        ), s AS (
+          SELECT doc_id,
+                {bit_sums}
+          FROM d GROUP BY doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({fold} AS BIGINT) AS simhash
+        FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_exact_dedup": """
@@ -480,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(m4 || m5 || m6 || m7) AS band_b
             FROM sig
         """,
+        "doc_simhash": _simhash_sql(),
         "doc_minhash_dedup": _SHINGLES_CTE + """
             , sig AS (
               SELECT doc_id,

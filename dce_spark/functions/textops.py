@@ -245,16 +245,30 @@ def minhash_dedup(documents: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFra
 
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash over tokens: per bit, sign of the sum of token
-    weights (+1/-1 from xxhash64 bit). Pure Catalyst: explode tokens,
-    one groupBy with 64 conditional sums folded into a bit string."""
+    weights (+1/-1 per md5-derived bit). Pure Catalyst: explode tokens,
+    one groupBy with 64 conditional sums folded into a bit string.
+
+    Token bits come from the md5 hex digest (digit k, bit k%4) rather
+    than xxhash64 so the exact same hash is computable in ANSI SQL —
+    the DuckDB oracle in __spark_entry__ mirrors it digit for digit."""
     toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(tokens_col()).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", F.md5("tok"))
+    # 16 hex-digit values (instr semantics identical across engines)
+    digit_cols = [
+        F.expr(
+            f"instr('0123456789abcdef', substr(h, {k + 1}, 1)) - 1"
+        ).alias(f"d{k}")
+        for k in range(16)
+    ]
+    toks = toks.select("doc_id", *digit_cols)
     one = F.lit(1).cast("long")
     bit_sums = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+            F.when(
+                F.col(f"d{b // 4}").bitwiseAND(F.lit(1 << (b % 4))) != 0, 1
+            ).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(64)
     ]
