@@ -101,6 +101,18 @@ _TABLE_PART_START = frozenset(
     "caption col colgroup tbody td tfoot th thead tr".split()
 )
 
+# The spec's formatting category (tracked on the active formatting
+# elements list and reconstructed across block boundaries).
+_FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+
+# Elements whose insertion pushes an AFE marker and whose pop clears
+# back to it.
+_AFE_MARKER_TAGS = frozenset(
+    "td th caption applet marquee object template".split()
+)
+
 # Open-element depth cap (Blink uses 512): beyond it, new elements are
 # inserted but not pushed, so pathological nesting (<div> x 500k, seen in
 # broken/adversarial crawl pages) stays O(n) instead of O(n^2) stack scans.
@@ -170,6 +182,10 @@ class _TreeBuilder(HTMLParser):
         self.table_depth = 0
         self.form_open = False
         self._strip_nl = False
+        # active formatting elements: [tag, attrs, node_idx] entries,
+        # None = marker (spec list; light variant without the full
+        # adoption agency — see _reconstruct_afe)
+        self.afe: list = []
         # creation order == pre-order unless a foster-parent insert or a
         # text coalesce into an earlier node happened (then we must DFS)
         self._fostered = False
@@ -202,6 +218,8 @@ class _TreeBuilder(HTMLParser):
         entry = self.stack.pop()
         if entry[1] == "table":
             self.table_depth -= 1
+        elif entry[1] in _AFE_MARKER_TAGS:
+            self._afe_clear_to_marker()
         return entry
 
     def _push(self, idx: int, tag: str, foreign: bool,
@@ -209,6 +227,52 @@ class _TreeBuilder(HTMLParser):
         self.stack.append((idx, tag, foreign, integration))
         if tag == "table":
             self.table_depth += 1
+
+    # ---- active formatting elements -------------------------------------
+
+    def _reconstruct_afe(self) -> None:
+        """Reopen formatting elements that were closed by block
+        boundaries (spec 'reconstruct the active formatting elements').
+        Light variant: no adoption agency, so misnested END tags are
+        approximated, but the common dangling-formatting case
+        (<p><b>x<p>y -> y is bold) matches html5ever."""
+        afe = self.afe
+        if not afe:
+            return
+        last = afe[-1]
+        if last is None:
+            return
+        on_stack = {e[0] for e in self.stack}
+        if last[2] in on_stack:
+            return
+        i = len(afe) - 1
+        while i >= 0:
+            e = afe[i]
+            if e is None or e[2] in on_stack:
+                break
+            i -= 1
+        for j in range(i + 1, len(afe)):
+            tag, attrs, _old = afe[j]
+            before = len(self.stack)
+            idx = self._insert_element(tag, attrs, push=True)
+            if len(self.stack) == before:  # depth-capped: stop retrying
+                idx = self._cur()
+            afe[j] = [tag, attrs, idx]
+
+    def _afe_remove(self, tag: str) -> None:
+        """Remove the last matching entry after the last marker."""
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e is None:
+                return
+            if e[0] == tag:
+                del self.afe[i]
+                return
+
+    def _afe_clear_to_marker(self) -> None:
+        while self.afe:
+            if self.afe.pop() is None:
+                return
 
     # ---- scope / implied end tags --------------------------------------
 
@@ -379,6 +443,15 @@ class _TreeBuilder(HTMLParser):
                 return  # whitespace before body / head rawtext payload
             self.in_body = True
             data = stripped
+        if self.afe and self.cdata_elem is None:
+            # spec: character tokens reconstruct formatting, except
+            # whitespace pending inside a table context
+            if not (
+                self.table_depth > 0
+                and self._cur_tag() in _TABLE_CONTEXT
+                and data.strip("\t\n\x0c\r ") == ""
+            ):
+                self._reconstruct_afe()
         self._insert_text(data)
 
     def handle_rawtext(self, tag: str, data: str) -> None:
@@ -495,10 +568,14 @@ class _TreeBuilder(HTMLParser):
                 t = self.stack[i][1]
                 if t == "a":
                     del self.stack[i]
+                    self._afe_remove("a")
                     break
                 if t in _DEFAULT_SCOPE_STOP:
                     break
-            self._insert_element(tag, a, push=True)
+            self._afe_remove("a")
+            self._reconstruct_afe()
+            idx = self._insert_element(tag, a, push=True)
+            self.afe.append(["a", a, idx])
             return
 
         if tag == "button":
@@ -535,13 +612,36 @@ class _TreeBuilder(HTMLParser):
             tag = "img"
 
         if tag in VOID_ELEMENTS:
+            if self.afe and tag in ("br", "img", "embed", "area", "wbr", "input"):
+                self._reconstruct_afe()
             self._insert_element(tag, a, push=False)
             return
 
         if tag == "body" or tag == "html":
             return
 
-        self._insert_element(tag, a, push=True)
+        if tag in _FORMATTING:
+            self._reconstruct_afe()
+            # Noah's ark clause: at most 3 identical entries per marker
+            same = 0
+            for i in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[i]
+                if e is None:
+                    break
+                if e[0] == tag and e[1] == a:
+                    same += 1
+                    if same >= 3:
+                        del self.afe[i]
+                        break
+            idx = self._insert_element(tag, a, push=True)
+            self.afe.append([tag, a, idx])
+            return
+
+        if self.afe:
+            self._reconstruct_afe()
+        idx = self._insert_element(tag, a, push=True)
+        if tag in _AFE_MARKER_TAGS:
+            self.afe.append(None)
         if tag == "textarea":
             self._strip_nl = True
 
@@ -566,10 +666,8 @@ class _TreeBuilder(HTMLParser):
                     self._insert_element("tbody", {}, push=True)
                 if self._cur_tag() in ("tbody", "thead", "tfoot"):
                     self._insert_element("tr", {}, push=True)
-            if self._cur_tag() == "tr":
-                self._insert_element(tag, attrs, push=True)
-            else:
-                self._insert_element(tag, attrs, push=True)
+            self._insert_element(tag, attrs, push=True)
+            self.afe.append(None)  # cell marker
             return
         if tag in ("tbody", "thead", "tfoot", "caption", "colgroup"):
             while self._cur_tag() not in ("table", "body"):
@@ -577,6 +675,8 @@ class _TreeBuilder(HTMLParser):
                     break
                 self._pop()
             self._insert_element(tag, attrs, push=True)
+            if tag == "caption":
+                self.afe.append(None)
             return
         if tag == "col":
             if self._cur_tag() != "colgroup":
@@ -653,6 +753,9 @@ class _TreeBuilder(HTMLParser):
             return
         if tag in ("body", "html"):
             return
+
+        if tag in _FORMATTING:
+            self._afe_remove(tag)
 
         # Any other end tag: nearest-match pop with SPECIAL abort.
         for i in range(len(self.stack) - 1, 0, -1):

@@ -203,6 +203,51 @@ def test_attrs_first_wins_and_valueless():
     assert doc.attrs[div]["hidden"] == ""
 
 
+def test_formatting_reconstruction_across_p():
+    # spec: <b> left open across an implied </p> is reconstructed in
+    # the next paragraph (active formatting elements)
+    doc = parse_html("<body><p><b>bold <p>still bold</p>")
+    ps = [i for i in range(len(doc)) if doc.tag[i] == "p"]
+    assert len(ps) == 2
+    b2 = [i for i in range(len(doc)) if doc.tag[i] == "b" and doc.parent[i] == ps[1]]
+    assert b2
+    txt = next(i for i in range(len(doc))
+               if doc.kind[i] == KIND_TEXT and "still" in doc.text[i])
+    assert doc.parent[txt] == b2[0]
+
+
+def test_formatting_end_tag_stops_reconstruction():
+    doc = parse_html("<body><p><b>bold</b> plain<p>also plain")
+    bs = [i for i in range(len(doc)) if doc.tag[i] == "b"]
+    assert len(bs) == 1  # no reconstruction after an explicit close
+
+
+def test_formatting_cleared_at_cell_boundary():
+    # AFE markers: formatting left open inside a cell must not leak
+    # into the next cell
+    doc = parse_html(
+        "<body><table><tr><td><b>x</td><td>plain</td></tr></table>"
+    )
+    tds = [i for i in range(len(doc)) if doc.tag[i] == "td"]
+    assert len(tds) == 2
+    second_cell_bs = [
+        i for i in range(len(doc))
+        if doc.tag[i] == "b" and tds[1] <= i < doc.subtree_end[tds[1]]
+    ]
+    assert not second_cell_bs
+
+
+def test_noahs_ark_caps_identical_entries():
+    # 5 unclosed identical <b>: reconstruction reopens at most 3
+    doc = parse_html("<body><p>" + "<b>" * 5 + "x<p>y")
+    ps = [i for i in range(len(doc)) if doc.tag[i] == "p"]
+    reopened = [
+        i for i in range(len(doc))
+        if doc.tag[i] == "b" and ps[1] <= i < doc.subtree_end[ps[1]]
+    ]
+    assert len(reopened) <= 3
+
+
 def test_subtree_end_invariants():
     doc = parse_html("<body><div><p>a<span>b</span></p></div><p>c</p>")
     n = len(doc)
