@@ -6,7 +6,6 @@ from __future__ import annotations
 from typing import Any
 
 from dce_spark.core.cetd import DensityTree
-from dce_spark.core.htmlparse import parse_html
 from dce_spark.core.textnorm import detect_primary_script
 
 __all__ = ["extract_content", "extract_article", "extract_page", "decode_html"]

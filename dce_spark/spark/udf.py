@@ -9,7 +9,6 @@ multi-MB pages cannot blow Python-worker memory.
 
 from __future__ import annotations
 
-import time
 from collections.abc import Iterator
 
 import pyarrow as pa
