@@ -237,6 +237,24 @@ def _q_events_sessionize(spark, sf_dir):
              "session_cnt", "max_session_events")
 
 
+def _q_events_json_props(spark, sf_dir):
+    """Semi-structured parsing: extract a JSON field from the props
+    column and aggregate — the crawl-metadata (WARC headers, page
+    metadata) handling pattern."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
+
+
 def _q_events_last_max(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -310,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_brute_topk": _q_emb_brute_topk,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "events_sessionize": _q_events_sessionize,
+        "events_json_props": _q_events_json_props,
         "events_last_max": _q_events_last_max,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_revenue_by_nation": _q_tpch_revenue_by_nation,
@@ -603,6 +622,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS session_cnt,
                    CAST(max(n) AS BIGINT) AS max_session_events
             FROM per GROUP BY 1
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_sum,
+                   CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_min,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_max
+            FROM events GROUP BY event_type
         """,
         "events_last_max": """
             SELECT event_type, max_value, CAST(event_id AS BIGINT) AS last_event_id
