@@ -51,6 +51,33 @@ def _update_host(
     )
 
 
+def windowed_crawl_rate(
+    pages_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed ingest rate with a watermark for late data.
+
+    Crawl records arrive out of order (fetch time vs ingest time); the
+    watermark bounds how late a warc_ts may be before its window is
+    finalized and state evicted — the standard late-data pattern
+    (event-time window + append-mode finalization)."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark_delay)
+        .groupBy(F.window("warc_ts", window_duration))
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col("pages").cast("long").alias("pages"),
+            F.col("bytes_in").cast("long").alias("bytes_in"),
+        )
+    )
+
+
 def host_stats_stream(extracted_stream: DataFrame) -> DataFrame:
     """extracted rows (streaming) -> running per-host totals.
 
