@@ -73,6 +73,17 @@ def test_spans_align(extracted_rows):
     assert checked > 0
 
 
+def test_markdown_mode_matches_core(spark):
+    rows = fixture_rows(include_reference=True)[:12]
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = extract_pages(df, mode="all", num_partitions=2).collect()
+    by_url = {r["url"]: r["html"] for r in rows}
+    for r in out:
+        core = extract_page(by_url[r.url], mode="all")
+        assert r.extracted_md == core["extracted_md"], r.url
+        assert r.content_links == core["content_links"], r.url
+
+
 def test_column_pruning_reaches_scan(spark, tmp_path):
     """The extraction plan must read only url+html from parquet."""
     rows = fixture_rows(include_reference=False)
