@@ -237,6 +237,25 @@ def test_formatting_cleared_at_cell_boundary():
     assert not second_cell_bs
 
 
+def test_classic_misnested_b_i():
+    # <p>1<b>2<i>3</b>4</i>5 — the canonical misnesting case; the AFE
+    # reconstruction yields the spec tree p{1, b{2, i{3}}, i{4}, 5}
+    doc = parse_html("<body><p>1<b>2<i>3</b>4</i>5</p>")
+    p = next(i for i in range(len(doc)) if doc.tag[i] == "p")
+    bs = [i for i in range(len(doc)) if doc.tag[i] == "b"]
+    is_ = [i for i in range(len(doc)) if doc.tag[i] == "i"]
+    assert len(bs) == 1 and len(is_) == 2
+    assert doc.parent[bs[0]] == p
+    assert doc.parent[is_[0]] == bs[0]  # i{3} inside b
+    assert doc.parent[is_[1]] == p  # reconstructed i{4} under p
+    t4 = next(i for i in range(len(doc))
+              if doc.kind[i] == KIND_TEXT and doc.text[i] == "4")
+    t5 = next(i for i in range(len(doc))
+              if doc.kind[i] == KIND_TEXT and doc.text[i] == "5")
+    assert doc.parent[t4] == is_[1]
+    assert doc.parent[t5] == p
+
+
 def test_noahs_ark_caps_identical_entries():
     # 5 unclosed identical <b>: reconstruction reopens at most 3
     doc = parse_html("<body><p>" + "<b>" * 5 + "x<p>y")
