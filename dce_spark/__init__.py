@@ -23,4 +23,17 @@ __version__ = "0.1.0"
 
 from dce_spark.core.api import extract_article, extract_content, extract_page
 
-__all__ = ["extract_content", "extract_article", "extract_page", "__version__"]
+# Drop-in naming parity with the reference crate's entry points
+# (get_content/get_article, src/lib.rs:140-159): same semantics, input
+# is raw HTML bytes/str instead of a pre-parsed scraper::Html.
+get_content = extract_content
+get_article = extract_article
+
+__all__ = [
+    "extract_content",
+    "extract_article",
+    "extract_page",
+    "get_content",
+    "get_article",
+    "__version__",
+]
