@@ -114,20 +114,22 @@ def _measure_scaling(n_small: int, pairs: int = 3) -> dict:
     scale_pages = N_PAGES
     corpus = CORPUS_PATH
 
-    def job(spark):
+    def job(spark, limit=None):
         pages = spark.read.parquet(corpus)
+        if limit:
+            pages = pages.limit(limit)
         out = attach_extraction(pages, mode="both")
         row = out.filter("status = 'ok'").selectExpr(
             "sum(length(extracted_text))", "count(*)"
         ).collect()
-        assert row[0][1] == scale_pages
+        assert row[0][1] == (limit or scale_pages)
 
     def timed(cores: int) -> float:
         spark = _fresh_spark(cores)
         if not (Path(corpus) / "_SUCCESS").exists():
             write_pages_parquet(spark, corpus, scale_pages,
                                 include_fixtures=False)
-        job(spark)  # warm
+        job(spark, limit=min(500, scale_pages))  # warm workers/JIT
         t0 = time.time()
         job(spark)
         wall = time.time() - t0
