@@ -19,10 +19,18 @@ decimals to absorb summation-order ULPs.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# the dce_spark package lives next to this file; make imports work no
+# matter which cwd the driver loads us from
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
