@@ -15,6 +15,10 @@ body-subtree shape on real-world pages:
 * implied end tags (p closed by block starts; li/dd/dt; option/optgroup;
   headings; generate-implied-end-tags on explicit closes);
 * the "any other end tag" algorithm with the SPECIAL-category abort;
+* the full adoption agency algorithm for misnested formatting end tags
+  (spec 13.2.6.4.7 "in body": outer/inner loops, furthest block,
+  bookmark, cloning), matching html5ever's tree shapes on cases like
+  ``<b>1<p>2</b>3`` and ``<a>..<div>..</a>``;
 * </p> with no open p inserting an empty p; </br> acting as <br>;
 * rawtext elements (script/style/xmp/iframe/noembed/noframes/noscript)
   and RCDATA (title/textarea, entity-decoded);
@@ -131,17 +135,24 @@ class Document:
     """Columnar DOM body subtree in pre-order document order.
 
     Node 0 is always <body>. Text nodes have tag '' and a str in text.
+    ``head_text`` carries the raw <title> payload(s) from the (dropped)
+    head subtree: the reference's document-level text walk includes the
+    title (scraper keeps head; should_skip_element does not skip title),
+    so extract_article needs it when the container walk escapes <body>.
     """
 
-    __slots__ = ("kind", "tag", "attrs", "text", "parent", "subtree_end")
+    __slots__ = ("kind", "tag", "attrs", "text", "parent", "subtree_end",
+                 "head_text")
 
-    def __init__(self, kind, tag, attrs, text, parent, subtree_end):
+    def __init__(self, kind, tag, attrs, text, parent, subtree_end,
+                 head_text=()):
         self.kind = kind  # list[int]
         self.tag = tag  # list[str]
         self.attrs = attrs  # list[dict | None]
         self.text = text  # list[str | None]
         self.parent = parent  # list[int], -1 for body
         self.subtree_end = subtree_end  # list[int]
+        self.head_text = head_text  # tuple[str, ...] raw title text
 
     def __len__(self) -> int:
         return len(self.kind)
@@ -183,9 +194,11 @@ class _TreeBuilder(HTMLParser):
         self.form_open = False
         self._strip_nl = False
         # active formatting elements: [tag, attrs, node_idx] entries,
-        # None = marker (spec list; light variant without the full
-        # adoption agency — see _reconstruct_afe)
+        # None = marker (spec list; reconstruction + adoption agency)
         self.afe: list = []
+        # raw <title> text captured during the head phase (the rest of
+        # head is dropped; title text is needed by article escape walks)
+        self.head_title: list = []
         # creation order == pre-order unless a foster-parent insert or a
         # text coalesce into an earlier node happened (then we must DFS)
         self._fostered = False
@@ -233,9 +246,7 @@ class _TreeBuilder(HTMLParser):
     def _reconstruct_afe(self) -> None:
         """Reopen formatting elements that were closed by block
         boundaries (spec 'reconstruct the active formatting elements').
-        Light variant: no adoption agency, so misnested END tags are
-        approximated, but the common dangling-formatting case
-        (<p><b>x<p>y -> y is bold) matches html5ever."""
+        Misnested END tags are handled by _adoption_agency."""
         afe = self.afe
         if not afe:
             return
@@ -273,6 +284,155 @@ class _TreeBuilder(HTMLParser):
         while self.afe:
             if self.afe.pop() is None:
                 return
+
+    # ---- adoption agency (spec 13.2.6.4.7) -------------------------------
+
+    def _detach(self, idx: int) -> None:
+        p = self.n_parent[idx]
+        if p >= 0:
+            kids = self.n_children[p]
+            try:
+                kids.remove(idx)
+            except ValueError:
+                pass
+            self.n_parent[idx] = -1
+
+    def _insert_under(self, target: int, idx: int) -> None:
+        """Insert existing node at the appropriate place with override
+        target (foster parenting when the target is a table context)."""
+        if self.n_tag[target] in _TABLE_CONTEXT and self.table_depth > 0:
+            self._fostered = True
+            parent, pos = self._foster_target()
+            self.n_children[parent].insert(pos, idx)
+            self.n_parent[idx] = parent
+        else:
+            self._append_child(target, idx)
+
+    def _node_in_scope(self, idx: int) -> bool:
+        for nidx, t, _f, integration in reversed(self.stack):
+            if nidx == idx:
+                return True
+            if t in _DEFAULT_SCOPE_STOP or integration:
+                return False
+        return False
+
+    def _adoption_agency(self, subject: str) -> bool:
+        """The adoption agency algorithm for a formatting end tag.
+
+        Returns True when the token is fully handled; False when there
+        is no matching active formatting entry, in which case the caller
+        must act as "any other end tag" (html5ever behaves identically;
+        the reference inherits it via Html::parse_document,
+        src/cetd.rs:41-61)."""
+        stack = self.stack
+        afe = self.afe
+        # Step 1: current node matches subject and is not an AFE entry.
+        cur_idx, cur_tag = stack[-1][0], stack[-1][1]
+        if (
+            cur_tag == subject
+            and len(stack) > 1
+            and not any(e is not None and e[2] == cur_idx for e in afe)
+        ):
+            self._pop()
+            return True
+        for _outer in range(8):
+            # Locate the formatting element (last before a marker).
+            fmt_pos = -1
+            for i in range(len(afe) - 1, -1, -1):
+                e = afe[i]
+                if e is None:
+                    break
+                if e[0] == subject:
+                    fmt_pos = i
+                    break
+            if fmt_pos < 0:
+                return False  # act as "any other end tag"
+            fmt_tag, fmt_attrs, fmt_idx = afe[fmt_pos]
+            stack_pos = -1
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i][0] == fmt_idx:
+                    stack_pos = i
+                    break
+            if stack_pos < 0:
+                del afe[fmt_pos]  # in AFE but no longer open: drop entry
+                return True
+            if not self._node_in_scope(fmt_idx):
+                return True  # parse error; ignore the token
+            # Furthest block: earliest SPECIAL element below fmt.
+            fb_pos = -1
+            for i in range(stack_pos + 1, len(stack)):
+                if stack[i][1] in _SPECIAL:
+                    fb_pos = i
+                    break
+            if fb_pos < 0:
+                # Simple case: pop through fmt (nothing special above it,
+                # so no table/marker bookkeeping is skipped).
+                del stack[stack_pos:]
+                del afe[fmt_pos]
+                return True
+            fb_idx = stack[fb_pos][0]
+            common_ancestor = stack[stack_pos - 1][0]
+            bookmark = fmt_pos
+            # Inner loop: rewire the chain between fmt and furthest block.
+            node_pos = fb_pos
+            last_node = fb_idx
+            inner = 0
+            while True:
+                inner += 1
+                node_pos -= 1
+                entry = stack[node_pos]
+                node_idx = entry[0]
+                if node_idx == fmt_idx:
+                    break
+                afe_pos = -1
+                for i in range(len(afe) - 1, -1, -1):
+                    e = afe[i]
+                    if e is not None and e[2] == node_idx:
+                        afe_pos = i
+                        break
+                if inner > 3 and afe_pos >= 0:
+                    del afe[afe_pos]
+                    if afe_pos < bookmark:
+                        bookmark -= 1
+                    if afe_pos < fmt_pos:
+                        fmt_pos -= 1
+                    afe_pos = -1
+                if afe_pos < 0:
+                    del stack[node_pos]
+                    fb_pos -= 1
+                    continue
+                # Clone node; swap in for both its AFE and stack entries.
+                n_tag, n_attrs, _old = afe[afe_pos]
+                clone = self._new_node(n_tag, n_attrs, None)
+                afe[afe_pos] = [n_tag, n_attrs, clone]
+                stack[node_pos] = (clone, n_tag, entry[2], entry[3])
+                if last_node == fb_idx:
+                    bookmark = afe_pos + 1
+                self._detach(last_node)
+                self._append_child(clone, last_node)
+                last_node = clone
+            # Place last_node under the common ancestor (foster-aware).
+            self._detach(last_node)
+            self._insert_under(common_ancestor, last_node)
+            # Clone fmt; the furthest block's children move into it.
+            new_fmt = self._new_node(fmt_tag, fmt_attrs, None)
+            for child in self.n_children[fb_idx]:
+                self.n_parent[child] = new_fmt
+            self.n_children[new_fmt] = self.n_children[fb_idx]
+            self.n_children[fb_idx] = []
+            self._append_child(fb_idx, new_fmt)
+            # AFE: fmt out, new_fmt in at the bookmark.
+            del afe[fmt_pos]
+            if fmt_pos < bookmark:
+                bookmark -= 1
+            afe.insert(bookmark, [fmt_tag, fmt_attrs, new_fmt])
+            # Stack: fmt out, new_fmt immediately below the block.
+            del stack[stack_pos]
+            fb_pos -= 1
+            stack.insert(fb_pos + 1, (new_fmt, fmt_tag, False, False))
+            # Cloning + reparenting break creation-order == pre-order.
+            self._fostered = True
+        return True
 
     # ---- scope / implied end tags --------------------------------------
 
@@ -440,6 +600,8 @@ class _TreeBuilder(HTMLParser):
         if not self.in_body:
             stripped = data.lstrip("\t\n\x0c\r ")
             if not stripped or self.cdata_elem is not None:
+                if cdata == "title" and data:
+                    self.head_title.append(data)
                 return  # whitespace before body / head rawtext payload
             self.in_body = True
             data = stripped
@@ -456,8 +618,13 @@ class _TreeBuilder(HTMLParser):
 
     def handle_rawtext(self, tag: str, data: str) -> None:
         """Fast-tokenizer path: raw content of a rawtext/RCDATA element.
-        Inserted under the (already-open) element; discarded pre-body."""
+        Inserted under the (already-open) element; discarded pre-body
+        (except <title>, captured for document-level text walks)."""
         if not self.in_body:
+            if tag == "title" and data:
+                if "&" in data:
+                    data = _htmllib.unescape(data)
+                self.head_title.append(data)
             return
         if tag in self._RCDATA and "&" in data:
             data = _htmllib.unescape(data)
@@ -561,18 +728,27 @@ class _TreeBuilder(HTMLParser):
             return
 
         if tag == "a":
-            # Approximation of the adoption agency: a new <a> ends any
-            # open <a>; if it is not the current node, unstack it without
-            # closing the elements nested inside it.
-            for i in range(len(self.stack) - 1, 0, -1):
-                t = self.stack[i][1]
-                if t == "a":
-                    del self.stack[i]
-                    self._afe_remove("a")
+            # Spec: an <a> while another <a> is in the AFE (after the
+            # last marker) runs the adoption agency for "a", then drops
+            # the old entry from the AFE and the stack if still present.
+            a_entry = None
+            for i in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[i]
+                if e is None:
                     break
-                if t in _DEFAULT_SCOPE_STOP:
+                if e[0] == "a":
+                    a_entry = e
                     break
-            self._afe_remove("a")
+            if a_entry is not None:
+                self._adoption_agency("a")
+                for i in range(len(self.afe) - 1, -1, -1):
+                    if self.afe[i] is a_entry:
+                        del self.afe[i]
+                        break
+                for i in range(len(self.stack) - 1, 0, -1):
+                    if self.stack[i][0] == a_entry[2]:
+                        del self.stack[i]
+                        break
             self._reconstruct_afe()
             idx = self._insert_element(tag, a, push=True)
             self.afe.append(["a", a, idx])
@@ -622,6 +798,10 @@ class _TreeBuilder(HTMLParser):
 
         if tag in _FORMATTING:
             self._reconstruct_afe()
+            if tag == "nobr" and self._has_in_scope("nobr"):
+                # spec: <nobr> with one already in scope adopts it first
+                self._adoption_agency("nobr")
+                self._reconstruct_afe()
             # Noah's ark clause: at most 3 identical entries per marker
             same = 0
             for i in range(len(self.afe) - 1, -1, -1):
@@ -755,7 +935,9 @@ class _TreeBuilder(HTMLParser):
             return
 
         if tag in _FORMATTING:
-            self._afe_remove(tag)
+            if self._adoption_agency(tag):
+                return
+            # no matching AFE entry: fall through to any-other-end-tag
 
         # Any other end tag: nearest-match pop with SPECIAL abort.
         for i in range(len(self.stack) - 1, 0, -1):
@@ -976,7 +1158,8 @@ def parse_html(html: str, tokenizer: str = "fast") -> Document:
             open_stack.append(i)
         for i in open_stack:
             subtree_end[i] = m
-        return Document(kind, tag, attrs, text, parent, subtree_end)
+        return Document(kind, tag, attrs, text, parent, subtree_end,
+                        tuple(builder.head_title))
 
     kind: list = []
     tag: list = []
@@ -1009,4 +1192,5 @@ def parse_html(html: str, tokenizer: str = "fast") -> Document:
         for child in reversed(n_children[node]):
             stack.append((child, pre, False))
 
-    return Document(kind, tag, attrs, text, parent, subtree_end)
+    return Document(kind, tag, attrs, text, parent, subtree_end,
+                    tuple(builder.head_title))

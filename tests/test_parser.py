@@ -267,6 +267,76 @@ def test_noahs_ark_caps_identical_entries():
     assert len(reopened) <= 3
 
 
+def test_adoption_agency_b_p():
+    # the spec's own worked example (13.2.10.2): <b>1<p>2</b>3</p>
+    # -> body{ b{1}, p{ b{2}, 3 } }; "3" is NOT bold
+    for tok in ("fast", "stdlib"):
+        doc = parse_html("<body><b>1<p>2</b>3</p>", tokenizer=tok)
+        bs = [i for i in range(len(doc)) if doc.tag[i] == "b"]
+        p = next(i for i in range(len(doc)) if doc.tag[i] == "p")
+        assert len(bs) == 2
+        assert doc.parent[bs[0]] == 0 and doc.parent[bs[1]] == p
+        t2 = next(i for i in range(len(doc))
+                  if doc.kind[i] == KIND_TEXT and doc.text[i] == "2")
+        t3 = next(i for i in range(len(doc))
+                  if doc.kind[i] == KIND_TEXT and doc.text[i] == "3")
+        assert doc.parent[t2] == bs[1]
+        assert doc.parent[t3] == p  # clone was popped by outer-loop pass 2
+
+
+def test_adoption_agency_a_div_chain():
+    # html5lib adoption01: <a>1<div>2<div>3</a>4 clones <a> into each div
+    doc = parse_html("<body><a href='x'>1<div>2<div>3</a>4</div></div>")
+    a_nodes = [i for i in range(len(doc)) if doc.tag[i] == "a"]
+    divs = [i for i in range(len(doc)) if doc.tag[i] == "div"]
+    assert len(a_nodes) == 3 and len(divs) == 2
+    assert doc.parent[a_nodes[0]] == 0
+    assert doc.parent[a_nodes[1]] == divs[0]
+    assert doc.parent[a_nodes[2]] == divs[1]
+    assert all(doc.attrs[i].get("href") == "x" for i in a_nodes)
+    t4 = next(i for i in range(len(doc))
+              if doc.kind[i] == KIND_TEXT and doc.text[i] == "4")
+    assert doc.parent[t4] == divs[1]  # "4" after </a>: not a link
+
+
+def test_adoption_agency_foster_parented_formatting():
+    # html5lib tables01: formatting open across a table is adopted with
+    # foster parenting; y and z land in reopened <b> clones
+    doc = parse_html("<body><table><b><tr><td>x</td></tr>y</table>z")
+    table = next(i for i in range(len(doc)) if doc.tag[i] == "table")
+    ty = next(i for i in range(len(doc))
+              if doc.kind[i] == KIND_TEXT and doc.text[i] == "y")
+    tz = next(i for i in range(len(doc))
+              if doc.kind[i] == KIND_TEXT and doc.text[i] == "z")
+    assert doc.tag[doc.parent[ty]] == "b" and ty < table
+    assert doc.tag[doc.parent[tz]] == "b" and tz > doc.subtree_end[table] - 1
+
+
+def test_adoption_agency_inner_loop_drops_non_formatting():
+    # <b><em><foo><aside></b>X: foo (non-AFE) is dropped from the open
+    # stack, em is cloned around aside, an empty b clone lands inside
+    # aside, and the outer loop's second pass pops that clone — so X is
+    # a plain child of aside (same mechanism as "3" in <b>1<p>2</b>3)
+    doc = parse_html("<body><b><em><foo><aside></b>X")
+    aside = next(i for i in range(len(doc)) if doc.tag[i] == "aside")
+    tx = next(i for i in range(len(doc))
+              if doc.kind[i] == KIND_TEXT and doc.text[i] == "X")
+    assert doc.parent[tx] == aside
+    bs = [i for i in range(len(doc)) if doc.tag[i] == "b"]
+    assert len(bs) == 2 and doc.parent[bs[1]] == aside  # empty clone
+    assert doc.tag[doc.parent[aside]] == "em"
+    assert doc.parent[doc.parent[aside]] == 0
+
+
+def test_title_text_captured():
+    for tok in ("fast", "stdlib"):
+        doc = parse_html(
+            "<html><head><title>My &amp; Title</title></head>"
+            "<body><p>x</p></body></html>", tokenizer=tok)
+        assert doc.head_text == ("My & Title",)
+        assert "title" not in tags(doc)  # still not a body node
+
+
 def test_subtree_end_invariants():
     doc = parse_html("<body><div><p>a<span>b</span></p></div><p>c</p>")
     n = len(doc)
