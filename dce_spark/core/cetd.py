@@ -70,6 +70,7 @@ class DensityTree:
         "_dom_to_density",
         "_frag_dom",
         "_frag_text",
+        "_head_frags",
     )
 
     def __init__(self, doc: Document):
@@ -156,6 +157,15 @@ class DensityTree:
         self._dom_to_density = dom_to_density
         self._frag_dom = np.asarray(frag_dom, dtype=np.int64)
         self._frag_text = [normalize_text(t) for t in frag_text]
+        # <title> fragments, processed exactly like body text fragments
+        # (collect_text_filtered trims + content-filters each text node):
+        # used only when the article walk escapes above <body>.
+        head_frags: list[str] = []
+        for raw in doc.head_text:
+            clean = rust_trim(raw)
+            if not is_non_content_text(clean):
+                head_frags.append(normalize_text(clean))
+        self._head_frags = head_frags
 
         char_sub = np.asarray(own_char, dtype=np.int64)
         tag_sub = np.asarray(own_tag, dtype=np.int64)
@@ -359,16 +369,42 @@ class DensityTree:
     def extract_article(self) -> str:
         """Anchor at the max-density-sum node, walk up <=5 DOM parents to
         the nearest container element, extract its text
-        (src/cetd.rs:404-438). Divergence note: the reference can walk
-        above <body> into <html>/document for shallow trees; this node
-        table is rooted at body, so the walk stops there."""
+        (src/cetd.rs:404-438).
+
+        The reference walks the scraper tree, whose parent chain
+        continues body -> html -> document; neither html nor document is
+        a container, so on shallow trees with walk budget left at <body>
+        the anchor lands above it and get_node_text covers the WHOLE
+        document — including <title> text (head is kept by scraper and
+        title is not in should_skip_element's skip set). This node table
+        is rooted at body, so that escape is emulated: remaining budget
+        at body => title fragments + body fragments."""
         if self.density_sum is None:
             self.calculate_density_sum()
         max_idx = self.get_max_density_sum_node()
         if max_idx < 0:
             return ""
-        container = self.walk_to_container(int(self.dom_index[max_idx]))
-        return self._dom_node_text(container)
+        doc = self.doc
+        current = int(self.dom_index[max_idx])
+        escaped = False
+        for _ in range(5):
+            parent = doc.parent[current]
+            if parent < 0:
+                # current is <body>; the reference's next step is <html>
+                # (not a container), then document — both yield the
+                # document-level text, so one remaining step suffices
+                escaped = True
+                break
+            current = parent
+            if doc.kind[current] != KIND_TEXT and doc.tag[current] in CONTAINER_TAGS:
+                break
+        if escaped:
+            body_text = self._dom_node_text(0)
+            if self._head_frags:
+                head_text = " ".join(self._head_frags)
+                return f"{head_text} {body_text}" if body_text else head_text
+            return body_text
+        return self._dom_node_text(current)
 
     # ------------------------------------------------------------------
     def node_links(self, density_idx: int) -> list[str]:

@@ -318,3 +318,35 @@ def test_grapheme_char_counts_unicode_page():
         if dt.doc.tag[int(dt.dom_index[i])] == "p"
     )
     assert dt.char_count[p_density_idx] == 10
+
+
+def test_article_shallow_tree_escapes_body():
+    # Reference walk (src/cetd.rs:421-433) runs on the scraper tree: on a
+    # shallow page the 5-step parent walk passes <body> into <html>/
+    # document, and get_node_text at the document level includes <title>
+    # text (scraper keeps head; title is not in the skip set).
+    html = (
+        "<html><head><title>Page Title</title></head>"
+        "<body><p>Shallow body paragraph with plenty of article text"
+        " to anchor the density walk.</p></body></html>"
+    )
+    dt = DensityTree.from_html(html)
+    dt.calculate_density_sum()
+    article = dt.extract_article()
+    assert article.startswith("Page Title ")
+    assert "Shallow body paragraph" in article
+
+
+def test_article_deep_tree_stays_in_container():
+    # With a container within 5 steps the walk anchors there and the
+    # title must NOT leak into the article text.
+    html = (
+        "<html><head><title>Page Title</title></head>"
+        "<body><div><article><p>Deep paragraph with plenty of article"
+        " text to anchor the density walk.</p></article></div></body></html>"
+    )
+    dt = DensityTree.from_html(html)
+    dt.calculate_density_sum()
+    article = dt.extract_article()
+    assert "Page Title" not in article
+    assert "Deep paragraph" in article
