@@ -516,10 +516,16 @@ def oracle_sql() -> dict[str, str]:
             , sizes AS (
               SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
               FROM sh GROUP BY doc_id
+            ), rare AS (
+              -- df-cap mirror of textops.ngram_jaccard_pairs(max_df=64)
+              SELECT sh.* FROM sh
+              JOIN (SELECT source, shingle FROM sh
+                    GROUP BY source, shingle HAVING count(*) <= 64) ok
+              USING (source, shingle)
             ), inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(count(*) AS BIGINT) AS i
-              FROM sh a JOIN sh b
+              FROM rare a JOIN rare b
                 ON a.shingle = b.shingle AND a.source = b.source
                AND a.doc_id < b.doc_id
               GROUP BY 1, 2
@@ -575,10 +581,11 @@ def oracle_sql() -> dict[str, str]:
               FROM bands b JOIN keeper k USING (band)
               GROUP BY b.doc_id
             )
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(keep_id AS BIGINT) AS keep_id,
-                   doc_id = keep_id AS is_kept
-            FROM decided
+            -- total over documents: shingle-less docs keep themselves
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(dec.keep_id, d.doc_id) AS BIGINT) AS keep_id,
+                   d.doc_id = COALESCE(dec.keep_id, d.doc_id) AS is_kept
+            FROM documents d LEFT JOIN decided dec ON dec.doc_id = d.doc_id
         """,
         "emb_cosine_threshold": """
             WITH q AS (

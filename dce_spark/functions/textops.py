@@ -166,13 +166,31 @@ def shingle_table(documents: DataFrame, k: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 3, threshold: float = 0.1
+    documents: DataFrame, k: int = 3, threshold: float = 0.1,
+    max_df: int = 64,
 ) -> DataFrame:
-    """Pairwise k-shingle Jaccard within a blocking key (source)."""
+    """Pairwise k-shingle Jaccard within a blocking key (source).
+
+    Hot-shingle guard: a shingle shared by d docs within one source
+    produces d^2 pre-aggregation join rows, so stop-phrase shingles
+    ("of the and") are a quadratic skew bomb at corpus scale. Standard
+    practice is a document-frequency cap: shingles with df > max_df
+    carry ~no similarity signal and are dropped BEFORE the self-join
+    (sizes stay full-set, so the score is a lower bound for pairs whose
+    overlap was mostly stop-shingles). The hot set is the vocabulary
+    head — tiny by construction — so it broadcasts as an anti-join.
+    """
     sh = shingle_table(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    hot = (
+        sh.groupBy("source", "shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("source", "shingle")
+    )
+    rare = sh.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+    a = rare.alias("a")
+    b = rare.alias("b")
     inter = (
         a.join(
             b,
@@ -225,7 +243,12 @@ def minhash_bands(documents: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFra
 def minhash_dedup(documents: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
     """Near-dup dedup decision: among docs sharing an LSH band, keep the
     smallest doc_id (the standard minhash-band dedup pass; at scale the
-    exact-jaccard verify runs only within these buckets)."""
+    exact-jaccard verify runs only within these buckets).
+
+    The decision table is TOTAL over the input: documents too short to
+    shingle (< k tokens) produce no bands, so they are left-joined back
+    and kept as their own keepers — a consumer can treat this as a
+    complete keep/drop decision."""
     bands = minhash_bands(documents, n_seeds, k)
     a = bands.select("doc_id", F.col("band_a").alias("band"))
     b = bands.select("doc_id", F.col("band_b").alias("band"))
@@ -236,10 +259,15 @@ def minhash_dedup(documents: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFra
         .groupBy("doc_id")
         .agg(F.min("keep_id").alias("keep_id"))
     )
-    return decided.select(
+    all_docs = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    total = all_docs.join(decided, "doc_id", "left")
+    return total.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("keep_id").cast("long").alias("keep_id"),
-        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+        F.coalesce(F.col("keep_id"), F.col("doc_id")).cast("long").alias("keep_id"),
+        (
+            F.col("doc_id")
+            == F.coalesce(F.col("keep_id"), F.col("doc_id"))
+        ).alias("is_kept"),
     )
 
 

@@ -46,6 +46,10 @@ def clean_gold_text(raw: str) -> str:
 def word_lcs_chars(s1: str, s2: str) -> int:
     """Word-level LCS scaled to ~chars (ce_score.rs:73-113).
 
+    Length units are UTF-8 BYTES (`&str::len()` in the reference), not
+    code points — both the average word length here and the P/R
+    denominators in score_pairs.
+
     Two-row DP over interned word ids; plain-list cells (scalar numpy
     indexing is several times slower per cell)."""
     w1 = s1.split()
@@ -75,8 +79,8 @@ def word_lcs_chars(s1: str, s2: str) -> int:
     lcs_words = int(prev[n])
     if lcs_words == 0:
         return 0
-    avg1 = sum(len(w) for w in w1) / m
-    avg2 = sum(len(w) for w in w2) / n
+    avg1 = sum(len(w.encode("utf-8")) for w in w1) / m
+    avg2 = sum(len(w.encode("utf-8")) for w in w2) / n
     return int(lcs_words * ((avg1 + avg2) / 2.0 + 1.0))
 
 
@@ -118,8 +122,12 @@ def score_pairs(extracted: DataFrame, gold: DataFrame) -> DataFrame:
             ext = clean_and_normalize_text(row["extracted_text"] or "")
             gld = clean_and_normalize_text(clean_gold_text(row["gold_text"] or ""))
             lcs = word_lcs_chars(gld, ext)
-            precision = lcs / len(ext) if len(ext) else float("nan")
-            recall = lcs / len(gld) if len(gld) else float("nan")
+            # denominators are UTF-8 byte lengths (ce_score.rs:153-154
+            # divides by String::len())
+            ext_len = len(ext.encode("utf-8"))
+            gld_len = len(gld.encode("utf-8"))
+            precision = lcs / ext_len if ext_len else float("nan")
+            recall = lcs / gld_len if gld_len else float("nan")
             denom = precision + recall
             f1 = 2.0 * precision * recall / denom if denom else float("nan")
             out.append(

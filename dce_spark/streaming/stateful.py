@@ -86,7 +86,9 @@ def host_stats_stream(extracted_stream: DataFrame) -> DataFrame:
     job. Output mode 'update' emits only touched hosts per trigger.
     """
     with_host = extracted_stream.withColumn(
-        "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+        # no trailing '/': path-less URLs (https://example.com) must
+        # still group under their real host, not an '' catch-all key
+        "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     )
     return (
         with_host.groupBy("host")

@@ -76,6 +76,50 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert not any(a == 4 or b == 4 for a, b in pairs if (a, b) != (4, 4))
 
 
+def test_ngram_jaccard_hot_shingle_capped(spark):
+    # one stop-shingle shared by ALL docs must not quadratically explode
+    # the self-join: with the df-cap it is dropped before joining, so
+    # unrelated docs that share ONLY the hot shingle yield no pair,
+    # while real near-dups still match via their rare shingles
+    hot = "of the and"
+    rows = [
+        (i, f"{hot} unique{i} filler{i} words{i} tail{i}", "en", "s1", 40)
+        for i in range(200)
+    ]
+    # 200 and 201: genuine near-dups sharing rare shingles
+    rows.append((200, f"{hot} alpha beta gamma delta epsilon", "en", "s1", 40))
+    rows.append((201, f"{hot} alpha beta gamma delta zeta", "en", "s1", 40))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in textops.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.05, max_df=64
+        ).collect()
+    }
+    assert (200, 201) in pairs  # near-dups survive the cap
+    # hot-only overlaps produce no pairs at all
+    assert all({a, b} == {200, 201} for a, b in pairs)
+
+
+def test_minhash_dedup_total_over_short_docs(spark):
+    rows = [
+        (1, "a b c d e", "en", "s1", 9),
+        (2, "a b c d e", "en", "s1", 9),   # dup of 1
+        (3, "xy", "en", "s1", 2),          # < k tokens: no shingles
+        (4, "", "en", "s1", 0),            # empty
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in textops.minhash_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}  # decision table is total
+    assert out[2].keep_id == 1 and not out[2].is_kept
+    assert out[3].keep_id == 3 and out[3].is_kept
+    assert out[4].keep_id == 4 and out[4].is_kept
+
+
 def test_minhash_bands_group_dups(docs):
     out = {r.doc_id: (r.band_a, r.band_b) for r in textops.minhash_bands(docs).collect()}
     assert out[1] == out[2]  # identical docs -> identical signature
