@@ -350,3 +350,36 @@ def test_article_deep_tree_stays_in_container():
     article = dt.extract_article()
     assert "Page Title" not in article
     assert "Deep paragraph" in article
+
+
+def test_committed_goldens_in_sync_with_engine():
+    # The committed golden parquet (driver oracle for the cetd_* queries)
+    # must track the live engine: spot-check a third of the rows via the
+    # scalar path. If this fails after a deliberate semantics change,
+    # re-run tools/make_cetd_goldens.py and review the diff.
+    import hashlib
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from dce_spark.core.api import extract_page
+    from dce_spark.spark.corpus import fixture_rows, synth_page
+
+    repo = Path(__file__).resolve().parent.parent
+    golden = {
+        r["url"]: r
+        for r in pq.read_table(
+            repo / "testdata" / "golden_cetd_content.parquet"
+        ).to_pylist()
+    }
+    rows = fixture_rows() + [synth_page(i) for i in range(32)]
+    assert set(golden) == {r["url"] for r in rows}
+    for row in rows[::3]:
+        rec = extract_page(row["html"], mode="both")
+        g = golden[row["url"]]
+        assert g["status"] == rec["status"], row["url"]
+        assert g["node_count"] == rec["node_count"], row["url"]
+        assert g["text_len"] == len(rec["extracted_text"]), row["url"]
+        assert g["text_md5"] == hashlib.md5(
+            rec["extracted_text"].encode()
+        ).hexdigest(), row["url"]

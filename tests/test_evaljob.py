@@ -70,3 +70,32 @@ def test_mean_scores_filters_nan(spark):
     assert out.files == 1
     assert out.avg_precision == pytest.approx(0.9)
     assert not math.isnan(out.avg_f1)
+
+
+def test_committed_gold_is_falsifiable(spark):
+    """A deliberately-broken extractor must LOWER the eval means vs the
+    committed golden scores — the committed gold (testdata/eval_gold)
+    is a frozen snapshot, not derived from the live extraction, so the
+    score moves when extraction does."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    repo = Path(__file__).resolve().parent.parent
+    golden = pq.read_table(repo / "testdata" / "golden_eval_scores.parquet")
+    expected_f1 = golden.to_pylist()[0]["avg_f1_r"]
+    assert expected_f1 >= 0.9  # healthy extractor scores near 1
+
+    gold = spark.read.parquet(str(repo / "testdata" / "eval_gold.parquet"))
+    # broken extractor: keep only the first 25% of each gold text
+    broken = gold.select(
+        "stem",
+        F.expr(
+            "substring(gold_text, 22, int(length(gold_text) / 4))"
+        ).alias("extracted_text"),
+    )
+    scores = score_pairs(broken, gold)
+    out = mean_scores(scores).collect()[0]
+    assert out.avg_f1 < expected_f1 - 0.2  # regression visibly drops F1
+    assert out.avg_recall < 0.5
