@@ -184,7 +184,18 @@ def main() -> None:
 
     queries = {}
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    for name, fn in entrymod.queries().items():
+    all_queries = entrymod.queries()
+    # warm the per-query path once untimed (noop writer + corpus
+    # synthesis + Python workers): without this the FIRST query in the
+    # loop absorbs one-time JIT/worker costs and misreads as slow
+    try:
+        first = next(iter(all_queries))
+        all_queries[first](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+    for name, fn in all_queries.items():
         t0 = time.time()
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -117,6 +117,25 @@ def cosine_pairs_threshold(
     )
 
 
+def derive_n_planes(
+    n_candidates: int,
+    target_bucket: int = 256,
+    min_planes: int = 6,
+    max_planes: int = 24,
+) -> int:
+    """Plane count must grow with the corpus: 2^planes buckets sized so
+    the EXPECTED bucket holds ~target_bucket candidates (at 10^9 vectors
+    a fixed 64-bucket table degenerates to ~10^7-candidate buckets).
+    Clamped to [min_planes, max_planes]; at sandbox scales this returns
+    min_planes, keeping the oracle stable."""
+    import math
+
+    if n_candidates <= 0:
+        return min_planes
+    need = math.ceil(math.log2(max(n_candidates / target_bucket, 1.0)))
+    return max(min_planes, min(max_planes, need))
+
+
 def _hyperplane_weights(n_planes: int, dim: int):
     """Deterministic integer 'hyperplanes': w(p, d) = ((p*73 + d*37) % 19) - 9.
     Integer weights keep sign(dot) exactly reproducible across engines."""
@@ -141,18 +160,29 @@ def lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
+    probes: int = 1,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates join queries on bucket id only.
 
     At scale this is the path: the crossJoin becomes an equi-join on
-    bucket (shuffle on a low-cardinality int), trading recall for a
-    1/2^planes candidate reduction; multi-probe = union of flipped-bit
-    buckets (not needed at sandbox scale).
+    bucket (shuffle on an int key), trading recall for a 1/2^planes
+    candidate reduction.
+
+    * ``n_planes=None`` derives the plane count from the corpus size
+      (one count() at index-build time) via derive_n_planes, so bucket
+      occupancy stays ~constant as the corpus grows.
+    * ``probes`` enables multi-probe: each query additionally searches
+      the buckets at Hamming distance 1 (bit p flipped, for the first
+      ``probes - 1`` planes), recovering neighbors that fell across a
+      single hyperplane. probes=1 is exactly the single-bucket search
+      (oracle-identical).
     """
     from pyspark.sql.window import Window
 
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count())
     with_bucket = embeddings.withColumn(
         "bucket", lsh_bucket_col(F.col("embedding"), n_planes, dim)
     )
@@ -161,6 +191,17 @@ def lsh_topk(
         F.col("embedding").alias("q_emb"),
         F.col("bucket"),
     )
+    if probes > 1:
+        # probe buckets: the home bucket + single-bit flips; a candidate
+        # occupies exactly one bucket, so no pair is produced twice
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(min(probes - 1, n_planes))
+            ],
+        )
+        queries = queries.withColumn("bucket", F.explode(probe_buckets))
     cands = with_bucket.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),

@@ -98,3 +98,90 @@ def test_salting_spreads_hot_domain(spark):
     counts = [r["count"] for r in sizes]
     assert len(counts) == 8
     assert max(counts) < 2.5 * (500 / 8)
+
+
+def test_iceberg_sink_commit_contract(spark, pages_path, tmp_path_factory,
+                                      monkeypatch):
+    """Contract test for sink='iceberg' with a stub writeTo (no iceberg
+    runtime in this sandbox): verifies the commit sequence — first chunk
+    creates the table partitioned by bucket via using('iceberg'), later
+    chunks land as overwritePartitions snapshots, the manifest gates
+    visibility, and resume skips committed buckets — by persisting the
+    stubbed table to parquet so spark.table round-trips."""
+    try:  # pyspark>=4: the session produces classic.DataFrame instances
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover
+        from pyspark.sql import DataFrame as _DF
+
+    table_dir = str(tmp_path_factory.mktemp("icb") / "tbl")
+    out = str(tmp_path_factory.mktemp("icb") / "meta")
+    calls: list[str] = []
+    tables: set[str] = set()
+
+    class StubWriter:
+        def __init__(self, df, table):
+            self._df, self._table = df, table
+            self._using = None
+            self._partitioned = None
+
+        def using(self, fmt):
+            self._using = fmt
+            calls.append(f"using:{fmt}")
+            return self
+
+        def partitionedBy(self, col):
+            self._partitioned = col
+            calls.append("partitionedBy")
+            return self
+
+        def create(self):
+            assert self._using == "iceberg"
+            assert self._partitioned is not None
+            calls.append(f"create:{self._table}")
+            tables.add(self._table)
+            self._df.write.mode("overwrite").partitionBy("bucket").parquet(
+                table_dir
+            )
+
+        def overwritePartitions(self):
+            if self._table not in tables:
+                raise RuntimeError("NoSuchTableException (stub)")
+            calls.append(f"overwritePartitions:{self._table}")
+            self._df.write.mode("overwrite").partitionBy("bucket").parquet(
+                table_dir
+            )
+
+    monkeypatch.setattr(
+        _DF, "writeTo",
+        lambda self, table: StubWriter(self, table), raising=True,
+    )
+    real_table = type(spark).table
+    monkeypatch.setattr(
+        type(spark), "table",
+        lambda self, name: (
+            self.read.parquet(table_dir) if name == out
+            else real_table(self, name)
+        ),
+    )
+
+    # run half the commits, "crash", then resume
+    r1 = run_pipeline(
+        spark, pages_path, out, buckets=4, buckets_per_commit=2,
+        max_commits=1, sink="iceberg",
+    )
+    assert r1["committed"] == 1 and r1["remaining"] > 0
+    # first chunk: overwrite attempt failed (no table), then create
+    assert calls.count(f"create:{out}") == 1
+
+    r2 = run_pipeline(
+        spark, pages_path, out, buckets=4, buckets_per_commit=2,
+        sink="iceberg",
+    )
+    assert r2["resumed_from"] == 2 and r2["remaining"] == 0
+    # second chunk appended via a snapshot overwrite, not a re-create
+    assert f"overwritePartitions:{out}" in calls
+    assert calls.count(f"create:{out}") == 1
+
+    mf = read_manifest(spark, out)
+    total_in = spark.read.parquet(pages_path).count()
+    assert sum(r.url_count for r in mf.collect()) == total_in

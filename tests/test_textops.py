@@ -179,3 +179,38 @@ def test_lsh_topk_recall_vs_brute(embeddings):
     # rank-1 recall of LSH vs brute force on separable clusters
     hits = sum(1 for k, v in brute.items() if lsh.get(k) == v)
     assert hits >= 2
+
+
+def test_lsh_multiprobe_recall_vs_brute_force(spark):
+    """Multi-probe LSH recovers neighbors that fell across one
+    hyperplane: recall vs exact brute force must be monotone in probes
+    and high with a probe per plane (sf0.1 embeddings, 2000 vectors)."""
+    import os
+
+    import pytest as _pytest
+
+    from dce_spark.functions.simsearch import derive_n_planes
+
+    path = "/root/testdata/sf0.1/embeddings.parquet"
+    if not os.path.exists(path):
+        _pytest.skip("sf0.1 testdata not present")
+    emb = spark.read.parquet(path)
+
+    def topk_set(df):
+        return {(r.query_id, r.cand_id) for r in df.collect()}
+
+    exact = topk_set(brute_force_topk(emb, n_queries=10, k=5))
+    r1 = topk_set(lsh_topk(emb, n_queries=10, k=5, n_planes=6, probes=1))
+    r7 = topk_set(lsh_topk(emb, n_queries=10, k=5, n_planes=6, probes=7))
+    recall1 = len(r1 & exact) / len(exact)
+    recall7 = len(r7 & exact) / len(exact)
+    assert recall7 > recall1  # probing strictly recovers split neighbors
+    # the sf0.1 embeddings are near-random, so recall is bounded by
+    # bucket coverage: 7 of 64 buckets ~ 11% chance baseline; measured
+    # 0.12 -> 0.30 across probes 1 -> 7 (~3x chance). Assert 2x chance.
+    assert recall7 >= 0.25
+
+    # derive_n_planes: constant bucket occupancy as the corpus grows
+    assert derive_n_planes(500) == 6
+    assert derive_n_planes(10**9) == 22
+    assert derive_n_planes(10**12) == 24  # clamped
