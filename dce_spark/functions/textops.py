@@ -189,18 +189,33 @@ def ngram_jaccard_pairs(
         .select("source", "shingle")
     )
     rare = sh.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
-    a = rare.alias("a")
-    b = rare.alias("b")
+    # Inverted-index pair generation instead of a string-keyed self-join:
+    # one groupBy collects each shingle's doc list (bounded <= max_df by
+    # the anti-join, so agg-buffer memory is bounded), then the i<j
+    # combinations explode in-memory — the same pair multiset the
+    # self-join produced, without shuffling the shingle table twice.
+    posting = rare.groupBy("source", "shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    n = F.size("ids")
+    pair_arrays = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, n),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pair_arrays.select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("inter"))
     )
     out = (
