@@ -196,10 +196,17 @@ def main() -> None:
     except Exception:
         pass
     for name, fn in all_queries.items():
-        t0 = time.time()
         try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 3)
+            # best-of-2: this VM has minutes-scale hypervisor steal-time
+            # windows; steal only ever slows a run, so min is the
+            # closest observable to the true cost
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            queries[name] = round(best, 3)
         except Exception as exc:  # pragma: no cover
             queries[name] = f"error:{type(exc).__name__}"
     spark.stop()
