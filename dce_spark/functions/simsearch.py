@@ -117,6 +117,56 @@ def cosine_pairs_threshold(
     )
 
 
+def embedding_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup decision.
+
+    LSH buckets generate the candidate pairs (equi-join on bucket id —
+    no crossJoin anywhere), exact cosine filters them, and each vector
+    keeps the smallest vec_id among itself and its >= threshold
+    neighbors — the same single-pass keeper rule as minhash_dedup (a
+    transitive closure would need iteration; one pass is the standard
+    streaming-friendly decision). The output is TOTAL over the input:
+    vectors with no qualifying neighbors keep themselves.
+    """
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count())
+    with_bucket = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        lsh_bucket_col(F.col("embedding"), n_planes, dim).alias("bucket"),
+    )
+    a = with_bucket.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = with_bucket.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    edges = (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine_similarity_col(F.col("ea"), F.col("eb")) >= threshold)
+        .select("a", "b")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nbr_min = sym.groupBy("a").agg(F.min("b").alias("nbr"))
+    total = with_bucket.select("vec_id").join(
+        nbr_min, with_bucket.vec_id == nbr_min.a, "left"
+    )
+    keep = F.least(F.col("vec_id"), F.coalesce(F.col("nbr"), F.col("vec_id")))
+    return total.select(
+        F.col("vec_id"),
+        keep.cast("long").alias("keep_id"),
+        (F.col("vec_id") == keep).alias("is_kept"),
+    )
+
+
 def derive_n_planes(
     n_candidates: int,
     target_bucket: int = 256,

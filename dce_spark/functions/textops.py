@@ -113,6 +113,34 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def rolling_fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token stream, h = fold(tokens, (h*31 + v(tok)) mod (2^31-1)),
+    v(tok) = first 8 md5 hex digits as an integer.
+
+    Unlike the md5-of-normalized-text fingerprint this is a sequential
+    fold (token order matters, token substitutions shift everything
+    after them) — the rolling-hash family used for shift-resistant
+    chunk fingerprinting. Values stay < 2^31 so the fold arithmetic
+    (< 2^36) is exact in 64-bit on any engine; the DuckDB oracle
+    mirrors it with list_reduce."""
+    toks = tokens_col()
+    m = F.lit(2147483647).cast("long")
+    vals = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    h = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * F.lit(31).cast("long") + v) % m,
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        h.alias("rolling_hash"),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Function-word-profile language ID (n-gram-heuristic family)."""
     toks = tokens_col()
@@ -175,10 +203,14 @@ def ngram_jaccard_pairs(
     produces d^2 pre-aggregation join rows, so stop-phrase shingles
     ("of the and") are a quadratic skew bomb at corpus scale. Standard
     practice is a document-frequency cap: shingles with df > max_df
-    carry ~no similarity signal and are dropped BEFORE the self-join
+    carry ~no similarity signal and are dropped BEFORE pair generation
     (sizes stay full-set, so the score is a lower bound for pairs whose
-    overlap was mostly stop-shingles). The hot set is the vocabulary
-    head — tiny by construction — so it broadcasts as an anti-join.
+    overlap was mostly stop-shingles). The hot-set anti-join is left
+    unhinted: at bench scale AQE broadcasts it (the set is the
+    vocabulary head), while at 10^12 rows — where the Zipf mid-tail
+    makes df>max_df shingles too numerous to broadcast — it falls back
+    to a shuffle join on the same (source, shingle) key the pair
+    groupBy needs anyway.
     """
     sh = shingle_table(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
@@ -188,7 +220,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > max_df)
         .select("source", "shingle")
     )
-    rare = sh.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+    rare = sh.join(hot, ["source", "shingle"], "left_anti")
     # Inverted-index pair generation instead of a string-keyed self-join:
     # one groupBy collects each shingle's doc list (bounded <= max_df by
     # the anti-join, so agg-buffer memory is bounded), then the i<j

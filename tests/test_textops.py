@@ -214,3 +214,47 @@ def test_lsh_multiprobe_recall_vs_brute_force(spark):
     assert derive_n_planes(500) == 6
     assert derive_n_planes(10**9) == 22
     assert derive_n_planes(10**12) == 24  # clamped
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    rows = [
+        (1, "alpha beta gamma", "en", "s1", 16),
+        (2, "alpha beta gamma", "en", "s1", 16),  # identical
+        (3, "gamma beta alpha", "en", "s1", 16),  # same tokens, reordered
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {
+        r.doc_id: r.rolling_hash
+        for r in textops.rolling_fingerprint(docs).collect()
+    }
+    assert out[1] == out[2]  # deterministic
+    assert out[1] != out[3]  # order matters (unlike md5-of-set)
+    assert 0 <= out[1] < 2147483647
+
+
+def test_embedding_dedup_decision(embeddings):
+    from dce_spark.functions.simsearch import embedding_dedup
+
+    emb = embeddings.select("vec_id", "embedding")
+    out = {
+        r.vec_id: r
+        for r in embedding_dedup(
+            emb, threshold=0.95, n_planes=4, dim=8
+        ).collect()
+    }
+    assert len(out) == 30  # total over input
+    # same-cluster vectors (vid % 3) are near-identical: every cluster
+    # must collapse at least partially — some vector is dropped
+    dropped = [v for v in out.values() if not v.is_kept]
+    assert dropped
+    labels = {r.vec_id % 3 for r in embeddings.collect()}
+    for v in dropped:
+        # keeper must be an earlier vector of the same cluster
+        assert v.keep_id < v.vec_id
+        assert v.keep_id % 3 == v.vec_id % 3
+    # keepers are self-consistent
+    kept = {v.vec_id for v in out.values() if v.is_kept}
+    assert all(v.keep_id in kept or v.keep_id == v.vec_id
+               for v in out.values())
