@@ -61,6 +61,11 @@ class DecodeBackend:
             "a backend"
         )
 
+    def decode_video(self, payload: bytes) -> np.ndarray:  # T x H x W x C
+        raise NotImplementedError(
+            "real video decoding requires pyav/ffmpeg — plug in a backend"
+        )
+
 
 class FakeDecodeBackend(DecodeBackend):
     """Deterministic stand-in: 'decodes' bytes into a pseudo-signal via
@@ -75,6 +80,11 @@ class FakeDecodeBackend(DecodeBackend):
         h = hashlib.sha256(payload).digest()
         rng = np.random.default_rng(np.frombuffer(h[8:16], dtype=np.uint64))
         return rng.standard_normal(1024).astype(np.float32)
+
+    def decode_video(self, payload: bytes) -> np.ndarray:
+        h = hashlib.sha256(payload).digest()
+        rng = np.random.default_rng(np.frombuffer(h[16:24], dtype=np.uint64))
+        return rng.integers(0, 256, size=(32, 16, 16, 3), dtype=np.uint8)
 
 
 def _extract_features(
@@ -143,3 +153,122 @@ def media_features(
 
     pruned = media.select("media_id", "kind", "payload")
     return pruned.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),  # raw HxWxC uint8
+    ]
+)
+
+
+def _nn_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure NumPy (the resize math itself is
+    real — only the codec decode sits behind DecodeBackend)."""
+    h, w = arr.shape[:2]
+    ri = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
+    ci = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
+    return arr[ri][:, ci]
+
+
+def resize_images(
+    media: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    backend: DecodeBackend | None = None,
+) -> DataFrame:
+    """Batch image resize: decode -> nearest-neighbor downsample -> raw
+    uint8 pixel buffer column. One Arrow-batched per-row map, no
+    shuffle; output rows carry typed dims so downstream kernels can
+    reinterpret the binary without metadata lookups."""
+    backend = backend or FakeDecodeBackend()
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                if rec.payload is None or rec.kind != "image":
+                    rows.append((rec.media_id, "skipped", None, None, None))
+                    continue
+                try:
+                    arr = backend.decode_image(bytes(rec.payload))
+                    small = np.ascontiguousarray(
+                        _nn_resize(arr, out_h, out_w).astype(np.uint8)
+                    )
+                    rows.append(
+                        (rec.media_id, "ok", out_h, out_w, small.tobytes())
+                    )
+                except NotImplementedError:
+                    rows.append((rec.media_id, "no_backend", None, None, None))
+                except Exception as exc:
+                    rows.append(
+                        (rec.media_id, f"error:{type(exc).__name__}",
+                         None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "status", "height", "width", "pixels"],
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("source_frame", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    backend: DecodeBackend | None = None,
+) -> DataFrame:
+    """Uniform video frame sampling: decode -> pick n uniformly-spaced
+    frames -> one output row per frame (a per-row flatMap; row counts
+    multiply by n_frames, so the Arrow batch size bounds still hold).
+    The sampling index math is real; only the codec is backend-pluggable."""
+    backend = backend or FakeDecodeBackend()
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                if rec.payload is None or rec.kind != "video":
+                    continue
+                try:
+                    vid = backend.decode_video(bytes(rec.payload))
+                except NotImplementedError:
+                    continue
+                t, h, w = vid.shape[0], vid.shape[1], vid.shape[2]
+                picks = (
+                    (np.arange(n_frames) * (t / n_frames))
+                    .astype(np.int64)
+                    .clip(0, t - 1)
+                )
+                for out_i, src_i in enumerate(picks):
+                    rows.append(
+                        (rec.media_id, out_i, int(src_i), h, w,
+                         np.ascontiguousarray(vid[src_i]).tobytes())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "source_frame",
+                         "height", "width", "pixels"],
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, FRAME_SCHEMA
+    )

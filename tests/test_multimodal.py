@@ -58,3 +58,38 @@ def test_payload_hash_lineage(media):
     out = {r.media_id: r for r in media_features(media).collect()}
     assert out[1].payload_sha1 and len(out[1].payload_sha1) == 40
     assert out[5].payload_sha1 is None
+
+
+def test_resize_images_real_nn_math(media):
+    import numpy as np
+
+    from dce_spark.functions.multimodal import (
+        FakeDecodeBackend,
+        _nn_resize,
+        resize_images,
+    )
+
+    out = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+    assert out[1].status == "ok"
+    assert (out[1].height, out[1].width) == (8, 8)
+    assert len(bytes(out[1].pixels)) == 8 * 8 * 3
+    # the resize math is real: spark output == local numpy resize
+    src = FakeDecodeBackend().decode_image(b"\x89PNG fake bytes 1")
+    expect = np.ascontiguousarray(_nn_resize(src, 8, 8)).tobytes()
+    assert bytes(out[1].pixels) == expect
+    assert out[3].status == "skipped"  # audio row
+    assert out[5].status == "skipped"  # null payload
+
+
+def test_sample_frames_uniform(media):
+    from dce_spark.functions.multimodal import sample_frames
+
+    rows = sample_frames(media, n_frames=4).collect()
+    # only the video row (media_id 4) yields frames
+    assert {r.media_id for r in rows} == {4}
+    assert sorted(r.frame_idx for r in rows) == [0, 1, 2, 3]
+    # uniformly spaced over the fake backend's 32 frames
+    assert [r.source_frame for r in sorted(rows, key=lambda r: r.frame_idx)] \
+        == [0, 8, 16, 24]
+    for r in rows:
+        assert len(bytes(r.pixels)) == r.height * r.width * 3
