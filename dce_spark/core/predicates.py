@@ -93,14 +93,20 @@ def is_non_content_text(text: str) -> bool:
         return True
 
     length = len(trimmed)  # code points, not graphemes (utils.rs:60)
-    lower = ascii_lower(trimmed)
 
-    looks_like_css_block = (
-        lower.startswith(".")
-        or lower.startswith("#")
-        or lower.startswith("@media")
-        or lower.startswith("@import")
-    ) and ("{" in trimmed and "}" in trimmed)
+    # CSS-block prefix test: only the first 7 chars need case folding,
+    # and it can only fire when the first char is . # or @ — so the
+    # full-string ascii_lower is deferred past the length<80 early-out
+    # (the dominant path for real text nodes).
+    looks_like_css_block = False
+    if trimmed[0] in ".#@" and "{" in trimmed and "}" in trimmed:
+        head = ascii_lower(trimmed[:7])
+        looks_like_css_block = (
+            head.startswith(".")
+            or head.startswith("#")
+            or head.startswith("@media")
+            or head.startswith("@import")
+        )
     if looks_like_css_block and (
         length >= 80 or punctuation_ratio(trimmed) > _THR_018
     ):
@@ -109,6 +115,7 @@ def is_non_content_text(text: str) -> bool:
     if length < 80:
         return False
 
+    lower = ascii_lower(trimmed)
     assignment_count = (
         lower.count(" = ")
         + lower.count('="')

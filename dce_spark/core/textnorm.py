@@ -68,7 +68,20 @@ def nfc(text: str) -> str:
 def normalize_text(text: str) -> str:
     """NFC + collapse Unicode whitespace runs to single spaces + trim
     (reference src/unicode.rs:70-79: nfc().collect() then
-    split_whitespace().join(" "))."""
+    split_whitespace().join(" ")).
+
+    ASCII fast path: NFC is identity, and str.split() equals a
+    White_Space split once U+001C..U+001F (Python-only whitespace,
+    ASCII control) are ruled out — ~10x cheaper than the regex scan.
+    """
+    if (
+        text.isascii()
+        and "\x1c" not in text
+        and "\x1d" not in text
+        and "\x1e" not in text
+        and "\x1f" not in text
+    ):
+        return " ".join(text.split())
     return " ".join(_NONWS_RUN.findall(nfc(text)))
 
 
