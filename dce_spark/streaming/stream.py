@@ -38,3 +38,39 @@ def stream_extract(
         .outputMode("append")
         .start()
     )
+
+
+def stream_dedup_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    mode: str = "both",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 16,
+):
+    """Streaming extraction with in-flight url dedup.
+
+    Crawl frontiers re-emit urls (retries, mirrored seeds); this variant
+    drops repeats BEFORE the expensive extraction map using
+    dropDuplicatesWithinWatermark on (url): state is bounded by the
+    event-time watermark on warc_ts, so a url seen again within the
+    watermark window is dropped and state older than it is evicted —
+    the standard bounded-state streaming dedup (an unbounded
+    dropDuplicates would grow state forever at crawl scale).
+    """
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    deduped = pages.withWatermark("warc_ts", watermark)\
+        .dropDuplicatesWithinWatermark(["url"])
+    extracted = attach_extraction(deduped, mode=mode)
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

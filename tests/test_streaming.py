@@ -54,3 +54,31 @@ def test_stream_extracts_and_is_exactly_once(spark, tmp_path_factory):
     out2 = spark.read.parquet(outp)
     assert out2.count() == out2.select("url").distinct().count()
     assert out2.count() >= 12
+
+
+def test_stream_dedup_drops_repeated_urls(spark, tmp_path):
+    """Repeated urls within the watermark window are extracted once."""
+    import datetime as dt
+
+    from dce_spark.spark.schema import PAGES_SCHEMA
+    from dce_spark.streaming.stream import stream_dedup_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    ts = dt.datetime(2025, 6, 1, 12, 0, 0)
+    html = b"<html><body><p>Stream dedup page body text.</p></body></html>"
+    rows = [
+        ("https://a.test/1", ts, html, None, "en"),
+        ("https://a.test/1", ts, html, None, "en"),  # dup in-batch
+        ("https://a.test/2", ts, html, None, "en"),
+    ]
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(in_dir)
+    q = stream_dedup_extract(spark, in_dir, out_dir, ck_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    urls = [r.url for r in out.select("url").collect()]
+    assert sorted(urls) == ["https://a.test/1", "https://a.test/2"]
