@@ -122,6 +122,14 @@ _AFE_MARKER_TAGS = frozenset(
 # broken/adversarial crawl pages) stays O(n) instead of O(n^2) stack scans.
 _MAX_DEPTH = 512
 
+# Active-formatting-elements size cap: the Noah's ark clause only bounds
+# IDENTICAL entries, so N unique-attr <b id=i> tags grow the AFE to N and
+# every reconstruction reopens all of them — O(N^2) node creation on
+# crafted pages. Real pages keep a handful of open formatting elements;
+# beyond the cap the OLDEST non-marker entry is dropped (generalized
+# ark), bounding reconstruction work per token.
+_MAX_AFE = 64
+
 # Tags still pushed within a small guard band beyond the cap: dropping
 # the push for these would re-parent their (pruned/rawtext) payload into
 # the surrounding content.
@@ -284,6 +292,17 @@ class _TreeBuilder(HTMLParser):
         while self.afe:
             if self.afe.pop() is None:
                 return
+
+    def _afe_push(self, entry: list) -> None:
+        """Append a formatting entry, enforcing the AFE size cap (drop
+        the oldest non-marker entry when full)."""
+        afe = self.afe
+        afe.append(entry)
+        if len(afe) > _MAX_AFE:
+            for i, e in enumerate(afe):
+                if e is not None:
+                    del afe[i]
+                    break
 
     # ---- adoption agency (spec 13.2.6.4.7) -------------------------------
 
@@ -751,7 +770,7 @@ class _TreeBuilder(HTMLParser):
                         break
             self._reconstruct_afe()
             idx = self._insert_element(tag, a, push=True)
-            self.afe.append(["a", a, idx])
+            self._afe_push(["a", a, idx])
             return
 
         if tag == "button":
@@ -814,7 +833,7 @@ class _TreeBuilder(HTMLParser):
                         del self.afe[i]
                         break
             idx = self._insert_element(tag, a, push=True)
-            self.afe.append([tag, a, idx])
+            self._afe_push([tag, a, idx])
             return
 
         if self.afe:

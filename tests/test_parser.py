@@ -347,3 +347,18 @@ def test_subtree_end_invariants():
             p = doc.parent[i]
             assert p < i < doc.subtree_end[p]
     assert doc.subtree_end[0] == n
+
+
+def test_afe_cap_bounds_unique_formatting_storm():
+    # N unique-attr <b> + <p> pairs: Noah's ark only collapses IDENTICAL
+    # entries, so without the AFE size cap every text token reconstructs
+    # all N formatting elements (O(N^2) nodes). Capped, parse time and
+    # node count stay linear in the input.
+    import time
+
+    html = "<body>" + "".join(f"<b id=i{i}>1<p>" for i in range(2000))
+    t0 = time.time()
+    doc = parse_html(html)
+    assert time.time() - t0 < 5.0
+    # each paragraph reopens at most _MAX_AFE formatting elements
+    assert len(doc) < 2000 * 80
