@@ -109,10 +109,14 @@ def _measure_scaling(n_small: int, pairs: int = 3) -> dict:
     from dce_spark.spark.corpus import write_pages_parquet
     from dce_spark.spark.udf import attach_extraction
 
-    # full-size corpus: a smaller one under-weights the fast level's
-    # fixed overheads and biases the ratio down
-    scale_pages = N_PAGES
-    corpus = CORPUS_PATH
+    # 2x the headline corpus: after the round-2 hot-path speedup the
+    # 6000-page corpus finishes in ~7s at 8 cores, so fixed DAG/
+    # scheduling overheads dominate and bias the ratio down (Amdahl on
+    # a fixed-size problem that got faster). The scaling criterion is
+    # about throughput scaling of the compute, so the scaling corpus
+    # grows to keep the runs compute-bound (>=10s at the fast level).
+    scale_pages = N_PAGES * 2
+    corpus = f"{CORPUS_PATH}_scale{scale_pages}"
 
     def job(spark, limit=None):
         pages = spark.read.parquet(corpus)
