@@ -173,6 +173,119 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, fraction of words with
+    an alphabetic character, and a required minimum of canonical
+    stopword hits. Emits the signals plus the combined keep flag — all
+    pure Catalyst array expressions, one projection, no shuffle."""
+    toks = tokens_col()
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = sum_len.cast("double") / n_words.cast("double")
+    alpha_cnt = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    alpha_frac = alpha_cnt.cast("double") / n_words.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("long")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction and the
+    share of the token stream covered by the most frequent 2-gram
+    (ties broken by lexicographically smallest bigram, so the mode is
+    deterministic across engines). One explode + one groupBy + one
+    small window over per-doc bigram counts; joins back on doc_id."""
+    from pyspark.sql.window import Window
+
+    toks = tokens_col()
+    n_tok = F.size(toks).cast("long")
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
+    base = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        (
+            F.lit(1.0) - n_dist.cast("double") / n_tok.cast("double")
+        ).alias("dup_token_frac"),
+        F.col("text"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(tokens_col()) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tokens_col()) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(tokens_col(), i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("bigram").alias("top_bigram"),
+                F.col("cnt").alias("top_bigram_cnt"))
+    )
+    return (
+        base.drop("text")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            "top_bigram",
+            F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("long")
+            .alias("top_bigram_cnt"),
+            (
+                F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("double")
+                * 2.0
+                / F.col("n_tokens").cast("double")
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def _shingles(k: int = 3):
     """Distinct k-word shingles of the text column."""
     toks = tokens_col()

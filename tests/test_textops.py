@@ -258,3 +258,41 @@ def test_embedding_dedup_decision(embeddings):
     kept = {v.vec_id for v in out.values() if v.is_kept}
     assert all(v.keep_id in kept or v.keep_id == v.vec_id
                for v in out.values())
+
+
+def test_gopher_quality_rules(spark):
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(60)]
+    )
+    rows = [
+        (1, good, "en", "s1", len(good)),
+        (2, "too short to keep and that", "en", "s1", 27),  # < 50 words
+        (3, " ".join(["x"] * 80), "en", "s1", 159),  # mean len 1 < 3
+        (4, " ".join(["12345"] * 80), "en", "s1", 479),  # alpha_frac 0
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in textops.gopher_quality(docs).collect()}
+    assert out[1].keep
+    assert out[1].stop_hits == 5 and out[1].n_words == 65
+    assert not out[2].keep  # word count
+    assert not out[3].keep  # mean word length
+    assert not out[4].keep  # alphabetic fraction
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (1, "a b a b a b a b", "en", "s1", 15),   # "a b" dominates
+        (2, "q w e r t y u i", "en", "s1", 15),   # all distinct
+        (3, "solo", "en", "s1", 4),               # no bigrams
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in textops.repetition_signals(docs).collect()}
+    assert out[1].top_bigram == "a b" and out[1].top_bigram_cnt == 4
+    assert out[1].dup_token_frac == pytest.approx(1 - 2 / 8)
+    assert out[1].top_bigram_frac == pytest.approx(8 / 8)
+    assert out[2].dup_token_frac == 0.0 and out[2].top_bigram_cnt == 1
+    assert out[3].top_bigram is None and out[3].top_bigram_cnt == 0
