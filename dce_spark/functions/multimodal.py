@@ -219,6 +219,48 @@ def resize_images(
     )
 
 
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def pdf_text(media: DataFrame) -> DataFrame:
+    """PDF text extraction over binary payloads (the pipeline's
+    "PDF/layout parse" leg): Arrow-batched per-row map running the
+    pure-Python extractor in core/pdftext.py (FlateDecode via stdlib
+    zlib, BT..ET / Tj / TJ content-stream parsing — no external codec,
+    so unlike image/audio this path is NOT stubbed)."""
+    from dce_spark.core.pdftext import extract_pdf_text
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                if rec.kind != "pdf":
+                    rows.append((rec.media_id, "skipped", None))
+                    continue
+                try:
+                    text = extract_pdf_text(
+                        bytes(rec.payload) if rec.payload is not None else b""
+                    )
+                    rows.append(
+                        (rec.media_id, "ok" if text else "empty", text)
+                    )
+                except Exception as exc:
+                    rows.append(
+                        (rec.media_id, f"error:{type(exc).__name__}", None)
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "status", "text"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, PDF_TEXT_SCHEMA
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
