@@ -60,3 +60,40 @@ def test_mutated_pages_no_rawtext_leak(pages):
         low = rec["extracted_text"].lower()
         for pat in ("function(", "window.datalayer", "googletag"):
             assert pat not in low, pat
+
+
+def test_formatting_soup_fuzz_totality_and_tokenizer_parity():
+    """Formatting-heavy random soup: the adoption agency must never
+    raise (parse_html is total by design, but a swallowed exception
+    would silently truncate trees), both tokenizers must build the
+    identical tree, and pre-order invariants must hold."""
+    import random
+
+    from dce_spark.core.htmlparse import parse_html
+
+    tags = ["b", "i", "a", "em", "div", "p", "span", "table", "tr", "td",
+            "u", "s", "nobr", "ul", "li", "svg", "font", "code", "aside"]
+    rng = random.Random(20260816)
+    for _ in range(300):
+        n = rng.randrange(4, 60)
+        parts = []
+        for _ in range(n):
+            t = rng.choice(tags)
+            r = rng.random()
+            if r < 0.45:
+                parts.append(f"<{t}>")
+            elif r < 0.85:
+                parts.append(f"</{t}>")
+            else:
+                parts.append(rng.choice(["x", "1 2", "&amp;", " "]))
+        html = "<body>" + "".join(parts)
+        d1 = parse_html(html, tokenizer="fast")
+        d2 = parse_html(html, tokenizer="stdlib")
+        assert (list(d1.tag), list(d1.parent), list(d1.text)) == (
+            list(d2.tag), list(d2.parent), list(d2.text)), html
+        m = len(d1)
+        for i in range(m):
+            assert i < d1.subtree_end[i] <= m
+            if i:
+                p = d1.parent[i]
+                assert 0 <= p < i and i < d1.subtree_end[p]
