@@ -99,3 +99,22 @@ def test_committed_gold_is_falsifiable(spark):
     out = mean_scores(scores).collect()[0]
     assert out.avg_f1 < expected_f1 - 0.2  # regression visibly drops F1
     assert out.avg_recall < 0.5
+
+
+def test_scores_use_utf8_byte_lengths(spark):
+    # reference ce_score.rs divides by String::len() (UTF-8 bytes):
+    # for identical non-ASCII texts the word-LCS char estimate is also
+    # byte-based, so P == R exactly and both reflect byte math
+    txt = "résumé naïve café déjà vu encore très bien mañana señor"
+    gold_raw = "http://x\n" + txt
+    extracted = spark.createDataFrame(
+        [("d", txt)], ["stem", "extracted_text"])
+    gold = spark.createDataFrame([("d", gold_raw)], ["stem", "gold_text"])
+    s = score_pairs(extracted, gold).collect()[0]
+    from dce_spark.spark.evaljob import word_lcs_chars
+    norm = clean_and_normalize_text(txt)
+    lcs = word_lcs_chars(norm, norm)
+    byte_len = len(norm.encode("utf-8"))
+    assert s.precision == pytest.approx(lcs / byte_len)
+    # code-point denominator would differ (11 multi-byte chars)
+    assert s.precision != pytest.approx(lcs / len(norm))
