@@ -52,3 +52,38 @@ def test_brute_topk_broadcasts_queries(spark):
 
     plan = _plan(e.queries()["emb_brute_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_new_textops_plans_pruned_and_codegen(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ("doc_gopher_quality", "doc_rolling_fingerprint"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Python" not in plan, name  # pure Catalyst
+        assert plan.count("Exchange") == 0, name  # shuffle-free projection
+        assert "text:string" in plan and "lang" not in plan.split(
+            "ReadSchema"
+        )[1][:120], name  # only doc_id+text scanned
+
+    plan = _plan(qs["doc_repetition"](spark, SF))
+    assert "Python" not in plan
+    # one groupBy + window + join-back: bounded exchange count
+    assert plan.count("Exchange") <= 4
+
+
+def test_ngram_jaccard_no_sortmerge_selfjoin(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_ngram_jaccard"](spark, SF))
+    # the round-1 string-keyed self-join is gone: pair generation is an
+    # in-memory combination explode over bounded posting lists
+    assert "SortMergeJoin" not in plan
+
+
+def test_emb_dedup_no_crossjoin(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["emb_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
