@@ -219,3 +219,28 @@ def write_pages_parquet(spark, path: str, n_synthetic: int,
     nb = bucket_files or min(max(64, spark.sparkContext.defaultParallelism * 2),
                              max(n_synthetic // 16, 1))
     df.repartition(nb, F.xxhash64("url")).write.mode("overwrite").parquet(path)
+
+
+def write_bucketed_pages(spark, path: str, n_synthetic: int, buckets: int,
+                         include_fixtures: bool = True,
+                         files_per_bucket: int = 4,
+                         seed: int = SEED) -> None:
+    """Write the corpus HIVE-PARTITIONED by the pipeline's url-hash
+    bucket (bucket=k dirs — the parquet analogue of an Iceberg
+    bucket(url) partition spec). run_pipeline detects the stored bucket
+    column and its per-commit filters become partition filters, so each
+    commit scans only its own buckets' files.
+
+    ``files_per_bucket`` keeps per-commit scan parallelism healthy: a
+    commit of c buckets yields ~c*files_per_bucket splits, so size it
+    so that c*files_per_bucket >= cluster cores (Iceberg gets this for
+    free from its target-file-size splitting)."""
+    from pyspark.sql import functions as F
+
+    df = build_pages_df(spark, n_synthetic, include_fixtures, seed=seed)
+    df = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(buckets)).cast("int")
+    )
+    df.repartition(
+        buckets * files_per_bucket, F.col("bucket"), F.xxhash64("url")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)

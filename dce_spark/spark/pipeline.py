@@ -118,14 +118,52 @@ def run_pipeline(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pages = spark.read.parquet(input_path)
-    pages = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(buckets)).cast("int")
-    )
+    if "bucket" in pages.columns:
+        # Pre-bucketed input (hive layout bucket=k / Iceberg bucket(url)
+        # partition spec): the per-commit isin filter becomes a PARTITION
+        # filter, so each commit scans only its buckets' files instead of
+        # re-reading the whole corpus once per commit — the difference
+        # between O(input) and O(input * buckets/buckets_per_commit)
+        # total bytes read at 100 TB. The stored column must be
+        # pmod(xxhash64(url), buckets) with the SAME bucket count;
+        # validated on a sample below.
+        sample = (
+            pages.select(
+                "bucket",
+                F.pmod(F.xxhash64("url"), F.lit(buckets))
+                .cast("int")
+                .alias("_expect"),
+            )
+            .limit(100)
+            .collect()
+        )
+        if any(r.bucket != r._expect for r in sample):
+            raise ValueError(
+                "input has a 'bucket' column that does not match "
+                f"pmod(xxhash64(url), {buckets}); rewrite the input or "
+                "pass the bucket count it was partitioned with"
+            )
+        pages = pages.withColumn("bucket", F.col("bucket").cast("int"))
+        pre_bucketed = True
+    else:
+        pages = pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(buckets)).cast("int")
+        )
+        pre_bucketed = False
 
     done = completed_buckets(spark, output_path)
     todo = [b for b in range(buckets) if b not in done]
     commits = 0
-    parallelism = num_partitions or spark.sparkContext.defaultParallelism
+    # A pre-bucketed input is already url-hash-spread (write-time
+    # salting), so the runtime salting exchange would re-shuffle every
+    # html byte per commit for nothing: scan parallelism comes from
+    # row-group splits. An explicit num_partitions still forces it.
+    if num_partitions is not None:
+        parallelism = num_partitions
+    elif pre_bucketed:
+        parallelism = None
+    else:
+        parallelism = spark.sparkContext.defaultParallelism
 
     for lo in range(0, len(todo), buckets_per_commit):
         if max_commits is not None and commits >= max_commits:

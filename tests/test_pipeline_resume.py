@@ -185,3 +185,24 @@ def test_iceberg_sink_commit_contract(spark, pages_path, tmp_path_factory,
     mf = read_manifest(spark, out)
     total_in = spark.read.parquet(pages_path).count()
     assert sum(r.url_count for r in mf.collect()) == total_in
+
+
+def test_bucketed_input_partition_pruning(spark, tmp_path_factory):
+    """Pre-bucketed input: the stored bucket column is validated, the
+    per-commit filter prunes partitions, no salting re-shuffle runs,
+    and results equal the compute-bucket path."""
+    from dce_spark.spark.corpus import write_bucketed_pages
+
+    src = str(tmp_path_factory.mktemp("bk") / "pages")
+    out = str(tmp_path_factory.mktemp("bk") / "extracted")
+    write_bucketed_pages(spark, src, 40, buckets=8, files_per_bucket=2)
+    res = run_pipeline(spark, src, out, buckets=8, buckets_per_commit=4)
+    assert res["committed"] == 2 and res["remaining"] == 0
+    total = spark.read.parquet(src).count()
+    got = read_extracted(spark, out)
+    assert got.count() == total
+    assert got.select("url").distinct().count() == total
+
+    # wrong bucket count: the validation must refuse, not mis-bucket
+    with pytest.raises(ValueError, match="does not match"):
+        run_pipeline(spark, src, out + "2", buckets=16, buckets_per_commit=4)
