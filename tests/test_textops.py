@@ -296,3 +296,12 @@ def test_repetition_signals(spark):
     assert out[1].top_bigram_frac == pytest.approx(8 / 8)
     assert out[2].dup_token_frac == 0.0 and out[2].top_bigram_cnt == 1
     assert out[3].top_bigram is None and out[3].top_bigram_cnt == 0
+
+
+def test_minhash_production_hash_groups_same(docs):
+    # the xxhash64 production path must group identically to the
+    # oracled md5 path (same algorithm, different hash family)
+    fast = {r.doc_id: (r.band_a, r.band_b)
+            for r in textops.minhash_bands(docs, portable_hash=False).collect()}
+    assert fast[1] == fast[2]  # identical docs
+    assert fast[1] != fast[4]
