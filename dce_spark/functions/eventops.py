@@ -20,7 +20,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join_pairs"]
+__all__ = ["asof_join", "range_join_pairs", "hypertable_rollup"]
+
+
+def hypertable_rollup(events: DataFrame) -> DataFrame:
+    """Timescale-style continuous-aggregate rollup: one pass computes
+    the hourly AND daily grains via GROUPING SETS (Catalyst expands to
+    a single shuffle with map-side partials — the batch analogue of a
+    hypertable's hierarchical continuous aggregates). ``grain`` labels
+    the level; hour is NULL on daily rows."""
+    e = events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+        "value",
+    )
+    rolled = e.groupingSets(
+        [["event_type", "day", "hour"], ["event_type", "day"]],
+        "event_type", "day", "hour",
+    ).agg(
+        F.count("*").cast("long").alias("events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("value_sum"),
+    )
+    return rolled.select(
+        "event_type",
+        F.unix_micros("day").alias("day_us"),
+        F.unix_micros("hour").alias("hour_us"),
+        F.when(F.col("hour").isNull(), F.lit("day")).otherwise(
+            F.lit("hour")
+        ).alias("grain"),
+        "events",
+        "value_sum",
+    )
 
 
 def asof_join(

@@ -286,6 +286,52 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     )
 
 
+def kmv_distinct_sketch(documents: DataFrame, k: int = 64) -> DataFrame:
+    """K-minimum-values distinct-token estimator per source.
+
+    The KMV sketch keeps the k smallest hash values of the stream; with
+    h uniform on [0,1), E[distinct] = (k-1)/h_(k). Unlike HLL(++) whose
+    register layouts differ per engine, KMV over md5 (first 15 hex
+    digits -> uniform in [0, 16^15)) is DETERMINISTIC and bit-identical
+    in ANSI SQL, so the estimate itself is oracle-checkable. Mergeable
+    (union of sketches = sketch of union) -> map-side partials apply;
+    the exact distinct rides along to show the estimation error.
+    """
+    m = float(16**15)
+    toks = documents.select(
+        "source", F.explode(tokens_col()).alias("tok")
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("double") / m,
+    )
+    distinct_h = toks.select("source", "h").distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("h")
+    kth = (
+        distinct_h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.max("h").alias("h_k"), F.count("*").alias("got"))
+    )
+    exact = (
+        documents.select("source", F.explode(tokens_col()).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("long").alias("exact_distinct"))
+    )
+    est = F.when(
+        F.col("got") < k, F.col("got").cast("double")  # fewer than k: exact
+    ).otherwise((F.lit(float(k - 1))) / F.col("h_k"))
+    return (
+        kth.join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.round(est, 2).alias("kmv_estimate"),
+        )
+    )
+
+
 def _shingles(k: int = 3):
     """Distinct k-word shingles of the text column."""
     toks = tokens_col()

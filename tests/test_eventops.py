@@ -64,3 +64,18 @@ def test_range_join_is_hash_join_not_nested_loop(events):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hypertable_rollup_grains(events):
+    from dce_spark.functions.eventops import hypertable_rollup
+
+    rows = hypertable_rollup(events).collect()
+    hour = [r for r in rows if r.grain == "hour"]
+    day = [r for r in rows if r.grain == "day"]
+    assert hour and day
+    # the daily grain aggregates its hourly children exactly
+    for d in day:
+        kids = [h for h in hour
+                if h.event_type == d.event_type and h.day_us == d.day_us]
+        assert sum(h.events for h in kids) == d.events
+        assert d.hour_us is None

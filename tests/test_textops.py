@@ -305,3 +305,19 @@ def test_minhash_production_hash_groups_same(docs):
             for r in textops.minhash_bands(docs, portable_hash=False).collect()}
     assert fast[1] == fast[2]  # identical docs
     assert fast[1] != fast[4]
+
+
+def test_kmv_sketch_accuracy(spark):
+    # 1000 distinct tokens in one source: KMV(k=64) estimates within
+    # ~2/sqrt(k) ~ 25%; a source with < k distinct tokens is exact
+    big = " ".join(f"tok{i}" for i in range(1000))
+    small = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, big, "en", "big", len(big)), (2, small, "en", "small", 30)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.source: r for r in textops.kmv_distinct_sketch(docs, k=64).collect()}
+    assert out["big"].exact_distinct == 1000
+    assert abs(out["big"].kmv_estimate - 1000) / 1000 < 0.35
+    assert out["small"].exact_distinct == 30
+    assert out["small"].kmv_estimate == 30.0  # < k: exact by construction
