@@ -286,6 +286,68 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     )
 
 
+def deterministic_sample(
+    documents: DataFrame, rates: dict[str, float], salt: str = "s1"
+) -> DataFrame:
+    """Reproducible stratified sampling by language: keep a row iff the
+    md5-derived uniform of (salt, doc_id) falls under its stratum's
+    rate. Hash-based (not RNG-based like sampleBy), so the SAME rows
+    are kept on every engine, every run, any partitioning — the
+    property training-data pipelines need for resumable sampling.
+    Unknown strata default to rate 0."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 15),
+            16, 10,
+        ).cast("double")
+        / float(16**15)
+    )
+    rate = None
+    for lang, r in sorted(rates.items()):
+        cond = F.when(F.col("lang") == lang, F.lit(float(r)))
+        rate = cond if rate is None else rate.when(
+            F.col("lang") == lang, F.lit(float(r))
+        )
+    rate = (rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0))
+    return documents.filter(u < rate).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+def pack_shards(documents: DataFrame, token_budget: int = 4096) -> DataFrame:
+    """Deterministic training-shard assignment: within each source,
+    documents in doc_id order are packed contiguously into shards of
+    ~token_budget tokens (a doc opens a new shard when its tokens would
+    cross the budget boundary — floor((cumsum - tokens) / budget), the
+    streaming analogue of sequence packing).
+
+    The cumulative sum is PARTITIONED by source: a global-order window
+    would funnel every row through one task at 10^12 rows, while
+    per-source packing parallelizes across sources and matches how
+    sharding pipelines actually stream per corpus. Shard ids are stable
+    under any partitioning because (source, doc_id) is a total order."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens_col()).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = documents.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tok.alias("n_tokens"),
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("cum") - F.col("n_tokens"))
+            / F.lit(token_budget).cast("double")
+        ).cast("long").alias("shard"),
+    )
+
+
 def kmv_distinct_sketch(documents: DataFrame, k: int = 64) -> DataFrame:
     """K-minimum-values distinct-token estimator per source.
 

@@ -321,3 +321,37 @@ def test_kmv_sketch_accuracy(spark):
     assert abs(out["big"].kmv_estimate - 1000) / 1000 < 0.35
     assert out["small"].exact_distinct == 30
     assert out["small"].kmv_estimate == 30.0  # < k: exact by construction
+
+
+def test_deterministic_sample_reproducible(spark):
+    rows = [(i, f"text {i}", "en" if i % 2 else "es", "s1", 8)
+            for i in range(400)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    a = {r.doc_id for r in textops.deterministic_sample(
+        docs, {"en": 0.5, "es": 0.1}).collect()}
+    b = {r.doc_id for r in textops.deterministic_sample(
+        docs.repartition(7), {"en": 0.5, "es": 0.1}).collect()}
+    assert a == b  # partitioning-independent
+    en = sum(1 for d in a if d % 2)
+    es = sum(1 for d in a if not d % 2)
+    assert 0.3 < en / 200 < 0.7  # ~50% of en stratum
+    assert es / 200 < 0.25  # ~10% of es stratum
+    # different salt -> different (but still reproducible) subset
+    c = {r.doc_id for r in textops.deterministic_sample(
+        docs, {"en": 0.5, "es": 0.1}, salt="other").collect()}
+    assert c != a
+
+
+def test_pack_shards_budget_and_order(spark):
+    rows = [(i, " ".join(["w"] * 100), "en", f"s{i % 2}", 199)
+            for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = sorted(textops.pack_shards(docs, token_budget=250).collect(),
+                 key=lambda r: (r.source, r.doc_id))
+    # per source: 5 docs x 100 tokens, budget 250 -> docs 0,1,2 in
+    # shard 0 (cum-start 0,100,200), doc 3 (cum-start 300) shard 1, ...
+    for source in ("s0", "s1"):
+        shards = [r.shard for r in out if r.source == source]
+        assert shards == [0, 0, 0, 1, 1]
