@@ -304,11 +304,9 @@ def deterministic_sample(
     )
     rate = None
     for lang, r in sorted(rates.items()):
-        cond = F.when(F.col("lang") == lang, F.lit(float(r)))
-        rate = cond if rate is None else rate.when(
-            F.col("lang") == lang, F.lit(float(r))
-        )
-    rate = (rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0))
+        clause = (F.when if rate is None else rate.when)
+        rate = clause(F.col("lang") == lang, F.lit(float(r)))
+    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
     return documents.filter(u < rate).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang"
     )
