@@ -68,11 +68,12 @@ def extract_batches(
         return batch
 
     for batch in batches:
-        urls = batch.column("url")
-        htmls = batch.column("html")
+        # one C-level conversion per column beats per-element .as_py()
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
         for i in range(batch.num_rows):
-            url = urls[i].as_py()
-            raw = htmls[i].as_py()
+            url = urls[i]
+            raw = htmls[i]
             if raw is None:
                 nbytes = 0
             elif isinstance(raw, str):  # string column: measure bytes
