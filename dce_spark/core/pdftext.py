@@ -58,9 +58,9 @@ def _decode_literal(raw: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \ddd (1-3 digits)
-                j = i + 1
-                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+            if nxt in b"01234567":  # octal \ddd (1-3 digits; \8 \9 are
+                j = i + 1             # undefined escapes, not octal)
+                while j < min(i + 4, n) and raw[j : j + 1] in b"01234567":
                     j += 1
                 out.append(int(raw[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -108,6 +108,7 @@ def _stream_text(content: bytes) -> list[str]:
     pos = 0
     n = len(content)
     pending: list[bytes] = []  # string operands awaiting an operator
+    in_array = False  # inside a TJ [..] array: numbers are kern gaps
 
     def flush_text(raw: bytes) -> None:
         # operands were decoded (escapes/octal/hex) when tokenized;
@@ -143,14 +144,14 @@ def _stream_text(content: bytes) -> list[str]:
                 parts.append("\n")  # ' and " imply a line move first
             continue
         if tok == b"TJ":
-            # pending holds the array's strings; numbers were skipped at
-            # tokenize time except we need big negative gaps as spaces —
-            # handled below by re-scanning the array region is avoided:
-            # approximate by joining with nothing (kerning), which is
-            # correct for machine PDFs that split mid-word.
+            # pending interleaves the array's strings with b" " markers
+            # for kerning gaps < -150/1000 em (the standard word-gap
+            # heuristic); plain kerning joins with nothing, which is
+            # correct for generators that split mid-word.
             for s in pending:
                 flush_text(s)
             pending.clear()
+            in_array = False
             continue
         if tok in (b"Td", b"TD", b"T*"):
             pending.clear()
@@ -158,11 +159,24 @@ def _stream_text(content: bytes) -> list[str]:
             continue
         if tok == b"ET":
             pending.clear()
+            in_array = False
             parts.append("\n")
             continue
-        if tok == b"[" or tok == b"]":
+        if tok == b"[":
+            in_array = True
             continue
-        if tok[:1] in b"-+0123456789./":
+        if tok == b"]":
+            in_array = False
+            continue
+        if tok[:1] == b"/":
+            continue  # name token (/F1 etc.): not an operator
+        if tok[:1] in b"-+0123456789.":
+            if in_array:
+                try:
+                    if float(tok) < -150.0:  # TJ adjustment: negative
+                        pending.append(b" ")  # values widen the gap
+                except ValueError:
+                    pass
             continue
         # any other operator consumes its operands
         pending.clear()

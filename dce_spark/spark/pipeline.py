@@ -127,6 +127,21 @@ def run_pipeline(
         # total bytes read at 100 TB. The stored column must be
         # pmod(xxhash64(url), buckets) with the SAME bucket count;
         # validated on a sample below.
+        # Range check first: a stored bucket count that is a MULTIPLE of
+        # `buckets` (e.g. stored 32, run 16) would pass a sampled
+        # equality check on low buckets while the isin filters silently
+        # never select buckets >= `buckets` — half the corpus lost. The
+        # distinct partition values expose that immediately.
+        stored = {
+            r.bucket for r in pages.select("bucket").distinct().collect()
+        }
+        if any(b is None or b < 0 or b >= buckets for b in stored):
+            raise ValueError(
+                f"input 'bucket' partition values {sorted(stored)[:8]}... "
+                f"fall outside range({buckets}); the input was written "
+                "with a different bucket count — rewrite it or pass the "
+                "count it was partitioned with"
+            )
         sample = (
             pages.select(
                 "bucket",

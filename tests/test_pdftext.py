@@ -104,3 +104,15 @@ def test_pdf_extract_spark_op(spark):
     assert out[2].text == out[1].text
     assert out[3].status == "empty" and out[3].text == ""
     assert out[4].status == "skipped"
+
+
+def test_tj_kerning_word_gap():
+    # TJ adjustments < -150/1000 em are word gaps; smaller kerning joins
+    content = b"BT [(Hello) -300 (world) -20 (!)] TJ ET"
+    assert extract_pdf_text(make_pdf(content)) == "Hello world!"
+
+
+def test_undefined_escapes_do_not_raise():
+    # \8 \9 are undefined escapes (backslash dropped), not octal
+    content = b"BT (bad\\8esc and \\9too) Tj ET"
+    assert extract_pdf_text(make_pdf(content)) == "bad8esc and 9too"

@@ -206,3 +206,16 @@ def test_bucketed_input_partition_pruning(spark, tmp_path_factory):
     # wrong bucket count: the validation must refuse, not mis-bucket
     with pytest.raises(ValueError, match="does not match"):
         run_pipeline(spark, src, out + "2", buckets=16, buckets_per_commit=4)
+
+
+def test_bucketed_input_rejects_multiple_bucket_count(spark,
+                                                      tmp_path_factory):
+    # stored=16, run=8: every stored bucket k<16 with k>=8 falls outside
+    # range(8) — must refuse loudly instead of silently dropping rows
+    from dce_spark.spark.corpus import write_bucketed_pages
+
+    src = str(tmp_path_factory.mktemp("bk2") / "pages")
+    write_bucketed_pages(spark, src, 40, buckets=16, files_per_bucket=1)
+    with pytest.raises(ValueError, match="outside range"):
+        run_pipeline(spark, src, str(tmp_path_factory.mktemp("bk2") / "o"),
+                     buckets=8, buckets_per_commit=4)
