@@ -141,3 +141,32 @@ def test_density_vector_equals_scalar_reference_order(
         assert math.isnan(float(got))
     else:
         assert float(got) == float(expected)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        max_size=400,
+    )
+)
+def test_parse_and_extract_total_on_arbitrary_text(raw):
+    """parse_html and the full extraction stack are TOTAL on arbitrary
+    unicode input (hypothesis shrinks any counterexample): never raise,
+    always yield a body-rooted tree with valid pre-order invariants, and
+    both tokenizers agree."""
+    from dce_spark.core.api import extract_page
+    from dce_spark.core.htmlparse import parse_html
+
+    d1 = parse_html(raw, tokenizer="fast")
+    d2 = parse_html(raw, tokenizer="stdlib")
+    for d in (d1, d2):
+        assert d.tag[0] == "body" and d.parent[0] == -1
+        m = len(d)
+        for i in range(m):
+            assert i < d.subtree_end[i] <= m
+            if i:
+                assert 0 <= d.parent[i] < i
+    assert (list(d1.tag), list(d1.text)) == (list(d2.tag), list(d2.text))
+    rec = extract_page(raw, mode="all")
+    assert rec["status"] == "ok" or rec["status"].startswith("error:")
