@@ -1,0 +1,81 @@
+"""WARC source: record framing, gzip members, HTTP header stripping,
+truncation totality, and the Spark read path into extraction."""
+
+import gzip
+
+import pytest
+
+from dce_spark.spark.warc import iter_warc_records
+
+
+def make_record(url: str, body: bytes, rtype: str = "response",
+                date: str = "2025-06-01T12:00:00Z") -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    payload = http if rtype == "response" else body
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return headers + payload + b"\r\n\r\n"
+
+
+HTML1 = b"<html><body><p>First page body text here.</p></body></html>"
+HTML2 = b"<html><body><p>Second page body text here.</p></body></html>"
+
+
+def make_warc() -> bytes:
+    return (
+        make_record("https://w.test/0", b"warcinfo", rtype="warcinfo")
+        + make_record("https://w.test/1", HTML1)
+        + make_record("https://w.test/2", b"GET / HTTP/1.1", rtype="request")
+        + make_record("https://w.test/2", HTML2)
+    )
+
+
+def test_plain_warc_records():
+    recs = list(iter_warc_records(make_warc()))
+    assert [r["url"] for r in recs] == ["https://w.test/1", "https://w.test/2"]
+    assert recs[0]["html"] == HTML1  # HTTP headers stripped
+    assert recs[1]["html"] == HTML2
+    assert recs[0]["warc_ts"].year == 2025
+
+
+def test_gzip_member_per_record():
+    # the Common Crawl layout: each record its own gzip member
+    raw = b"".join(
+        gzip.compress(make_record(f"https://w.test/{i}", HTML1))
+        for i in range(3)
+    )
+    recs = list(iter_warc_records(raw))
+    assert len(recs) == 3
+    assert all(r["html"] == HTML1 for r in recs)
+
+
+def test_truncated_archive_is_total():
+    raw = make_warc()
+    for cut in (10, len(raw) // 2, len(raw) - 3):
+        recs = list(iter_warc_records(raw[:cut]))  # never raises
+        assert all(r["html"] for r in recs)
+    assert list(iter_warc_records(b"")) == []
+    assert list(iter_warc_records(b"\x1f\x8bnot really gzip")) == []
+    assert list(iter_warc_records(b"garbage with no warc header")) == []
+
+
+@pytest.mark.spark
+def test_read_warc_into_extraction(spark, tmp_path):
+    from dce_spark.spark.pipeline import extract_pages
+    from dce_spark.spark.warc import read_warc
+
+    (tmp_path / "a.warc").write_bytes(make_warc())
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(
+        make_record("https://w.test/gz", HTML1)))
+    pages = read_warc(spark, str(tmp_path))
+    out = {r.url: r for r in extract_pages(pages).collect()}
+    assert set(out) == {"https://w.test/1", "https://w.test/2",
+                        "https://w.test/gz"}
+    assert all(r.status == "ok" for r in out.values())
+    assert "First page body text" in out["https://w.test/1"].extracted_text
