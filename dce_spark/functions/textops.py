@@ -346,6 +346,95 @@ def pack_shards(documents: DataFrame, token_budget: int = 4096) -> DataFrame:
     )
 
 
+# 12 high-signal character classes + implicit 'other': the most frequent
+# English letters individually, the remaining letters pooled, digits,
+# space. Small enough that the fused projection stays within the JVM's
+# generated-method limits (a per-letter alphabet blew the 64KB cap and
+# pushed Spark into interpreted fallback).
+_ENTROPY_CLASSES = (
+    "e", "t", "a", "o", "i", "n", "s", "r",
+    "[b-dfghjkl-mp-qu-z]", "[0-9]", " ",
+)
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy (bits) of the lowercased character distribution
+    over FIXED classes (top English letters, pooled other letters,
+    digits, space, other) — a classic machine-text/quality signal
+    (gibberish and encoded blobs sit far from prose entropy).
+
+    The fixed, ordered class list makes the floating-point fold
+    DETERMINISTIC (same summation order on every engine/partitioning),
+    so the value itself is oracle-checkable — unlike an explode+groupBy
+    entropy whose sum order varies. Per-class counts via regex removal;
+    all pure Catalyst, no shuffle."""
+    lowered = F.lower(F.col("text"))
+    total = F.length(lowered).cast("double")
+
+    def cnt(cls: str):
+        return (
+            F.length(lowered)
+            - F.length(F.regexp_replace(lowered, cls, ""))
+        ).cast("double")
+
+    counts = [cnt(c) for c in _ENTROPY_CLASSES]
+    other = total - sum(counts[1:], counts[0])
+    terms = counts + [other]
+    log2 = F.log(F.lit(2.0))
+    entropy = None
+    for c in terms:  # fixed order: deterministic f64 accumulation
+        p = c / total
+        term = F.when(c > 0, -p * F.log(p) / log2).otherwise(F.lit(0.0))
+        entropy = term if entropy is None else entropy + term
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(total > 0, F.round(entropy, 6)).otherwise(F.lit(0.0))
+        .alias("char_entropy"),
+    )
+
+
+def compression_ratio(documents: DataFrame) -> DataFrame:
+    """zlib compressibility quality signal (CCNet-style): highly
+    repetitive/boilerplate text compresses far below prose. No SQL
+    analogue exists (DuckDB has no zlib), so this is a library op with
+    pytest coverage rather than a driver-oracled query. Arrow-batched
+    mapInPandas; level 6 to match the usual pipeline setting."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_bytes", T.LongType()),
+            T.StructField("compressed_bytes", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+
+    def kernel(it):
+        import zlib
+
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                raw = (rec.text or "").encode("utf-8")
+                comp = len(zlib.compress(raw, 6))
+                rows.append(
+                    (
+                        int(rec.doc_id),
+                        len(raw),
+                        comp,
+                        (comp / len(raw)) if raw else 1.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "raw_bytes", "compressed_bytes", "ratio"],
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(kernel, schema)
+
+
 def kmv_distinct_sketch(documents: DataFrame, k: int = 64) -> DataFrame:
     """K-minimum-values distinct-token estimator per source.
 

@@ -355,3 +355,25 @@ def test_pack_shards_budget_and_order(spark):
     for source in ("s0", "s1"):
         shards = [r.shard for r in out if r.source == source]
         assert shards == [0, 0, 0, 1, 1]
+
+
+def test_char_entropy_and_compression_quality_signals(spark):
+    prose = ("the quick brown fox jumps over the lazy dog and keeps "
+             "running through the quiet evening fields") * 3
+    repeat = "aaaa bbbb " * 30
+    rows = [
+        (1, prose, "en", "s1", len(prose)),
+        (2, repeat, "en", "s1", len(repeat)),
+        (3, "", "en", "s1", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    ent = {r.doc_id: r.char_entropy
+           for r in textops.char_entropy(docs).collect()}
+    assert ent[1] > ent[2]  # prose carries more entropy than repetition
+    assert ent[3] == 0.0
+    comp = {r.doc_id: r for r in textops.compression_ratio(docs).collect()}
+    assert comp[1].ratio > comp[2].ratio  # repetition compresses harder
+    assert comp[3].ratio == 1.0 and comp[3].raw_bytes == 0
+    import zlib
+    assert comp[1].compressed_bytes == len(zlib.compress(prose.encode(), 6))
