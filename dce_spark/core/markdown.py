@@ -27,7 +27,7 @@ from __future__ import annotations
 from dce_spark.core.cetd import DensityTree
 from dce_spark.core.htmlparse import KIND_TEXT, Document
 from dce_spark.core.predicates import should_skip_element
-from dce_spark.core.textnorm import ascii_lower
+from dce_spark.core.textnorm import RUST_WHITESPACE, ascii_lower
 
 _HEADINGS = {"h1": "#", "h2": "##", "h3": "###", "h4": "####",
              "h5": "#####", "h6": "######"}
@@ -39,21 +39,25 @@ _BLOCK = frozenset(
 
 
 def _has_data_uri_media(tag: str, attrs) -> bool:
-    """reference src/utils.rs:354-369."""
+    """reference src/utils.rs:354-369 (trim_start is Unicode ws)."""
     if tag not in ("img", "source", "picture"):
         return False
     if not attrs:
         return False
     src = attrs.get("src")
-    if src is not None and ascii_lower(src.lstrip()).startswith("data:"):
+    if src is not None and ascii_lower(
+        src.lstrip(RUST_WHITESPACE)
+    ).startswith("data:"):
         return True
     srcset = attrs.get("srcset")
     return srcset is not None and "data:" in srcset
 
 
 def _is_editor_artifact_span(tag: str, attrs) -> bool:
-    """reference src/utils.rs:347-349."""
-    return tag == "span" and attrs is not None and "data-mce-type" in attrs
+    """reference src/utils.rs:347-349: ANY element carrying a
+    data-mce-type attribute (the doc comment says span, the code does
+    not restrict the tag)."""
+    return attrs is not None and "data-mce-type" in attrs
 
 
 class _MdRenderer:
@@ -228,3 +232,70 @@ def extract_content_as_markdown(dtree: DensityTree) -> str:
         return render_markdown(doc, max(i, 0))
 
     return render_markdown(doc, dtree.walk_to_container(max_dom))
+
+
+# ---------------------------------------------------------------------
+# filtered_inner_html — the reference's markdown-path serializer
+# (src/utils.rs:290-342): pruned inner HTML of a node, with non-content
+# subtrees (skip filters, data:-URI media, editor-artifact elements)
+# removed and text/attrs escaped exactly like escape_html_text /
+# escape_attr_value (src/utils.rs:372-392).
+# ---------------------------------------------------------------------
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track "
+    "wbr".split()
+)
+
+
+def escape_html_text(s: str) -> str:
+    """reference src/utils.rs:372-381 (& < > only)."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def escape_attr_value(s: str) -> str:
+    """reference src/utils.rs:384-392 (& and double quote only)."""
+    return s.replace("&", "&amp;").replace('"', "&quot;")
+
+
+def filtered_inner_html(doc: Document, dom_idx: int = 0) -> str:
+    """Serialize the inner HTML of ``dom_idx`` (default: body) with
+    non-content subtrees pruned — what the reference feeds into htmd."""
+    kind = doc.kind
+    tags = doc.tag
+    attrs = doc.attrs
+    texts = doc.text
+    sub_end = doc.subtree_end
+    out: list[str] = []
+    close_at: list[tuple[int, str]] = []  # (subtree_end, tag) stack
+    end = sub_end[dom_idx]
+    i = dom_idx + 1  # inner HTML: children only, not the node itself
+    while i < end:
+        while close_at and close_at[-1][0] <= i:
+            out.append(f"</{close_at.pop()[1]}>")
+        if kind[i] == KIND_TEXT:
+            out.append(escape_html_text(texts[i]))
+            i += 1
+            continue
+        tag = tags[i]
+        a = attrs[i]
+        if (
+            should_skip_element(tag, a)
+            or _is_editor_artifact_span(tag, a)
+            or _has_data_uri_media(tag, a)
+        ):
+            i = sub_end[i]  # prune the whole subtree
+            continue
+        out.append("<" + tag)
+        if a:
+            for name, value in a.items():
+                out.append(f' {name}="{escape_attr_value(value)}"')
+        out.append(">")
+        if tag in _VOID_TAGS:
+            i = sub_end[i]  # void: no children serialized, no end tag
+            continue
+        close_at.append((sub_end[i], tag))
+        i += 1
+    while close_at:
+        out.append(f"</{close_at.pop()[1]}>")
+    return "".join(out)

@@ -104,3 +104,33 @@ def test_markdown_sanity_substrings(pages):
     for name, expected in checks.items():
         md = md_for(decode_html(pages[name]))
         assert expected in md, f"{name}: missing {expected!r}"
+
+
+def test_filtered_inner_html_serializer():
+    # reference src/utils.rs:290-342: pruned inner HTML with the exact
+    # escape_html_text / escape_attr_value escapes and void handling
+    from dce_spark.core.htmlparse import parse_html
+    from dce_spark.core.markdown import (
+        escape_attr_value,
+        escape_html_text,
+        filtered_inner_html,
+    )
+
+    assert escape_html_text("a<b>&c") == "a&lt;b&gt;&amp;c"
+    assert escape_attr_value('a"b&<>') == "a&quot;b&amp;<>"  # < > untouched
+    doc = parse_html(
+        '<body><div class="a"><p>x &amp; <b>y</b></p>'
+        "<script>var z=1;</script>"
+        '<img src="data:image/png;base64,xx">'
+        '<span data-mce-type="bookmark">hidden</span>'
+        '<div data-mce-type="x">also hidden</div>'
+        '<img src="real.png" alt=\'a"b\'><hr></div>tail</body>'
+    )
+    html = filtered_inner_html(doc)
+    assert html == (
+        '<div class="a"><p>x &amp; <b>y</b></p>'
+        '<img src="real.png" alt="a&quot;b"><hr></div>tail'
+    )
+    # subtree serialization: inner HTML of the <p>
+    p = next(i for i in range(len(doc)) if doc.tag[i] == "p")
+    assert filtered_inner_html(doc, p) == "x &amp; <b>y</b>"
