@@ -216,9 +216,28 @@ def main() -> None:
     spark.stop()
     time.sleep(2)
 
+    # scalar single-core reference: the steadiest cross-round signal on
+    # this noisy VM (no Spark scheduling, no steal amortization effects)
+    import time as _time
+
+    from dce_spark.core.api import extract_page
+    from dce_spark.spark.corpus import synth_page
+
+    scalar_pages = [synth_page(i)["html"] for i in range(60)]
+    for p in scalar_pages[:10]:
+        extract_page(p, mode="both")
+    best_scalar = None
+    for _ in range(3):
+        t0 = _time.time()
+        for p in scalar_pages:
+            extract_page(p, mode="both")
+        w = _time.time() - t0
+        best_scalar = w if best_scalar is None else min(best_scalar, w)
+
     out = {
         "metric": "cetd_extraction_wall_seconds",
         "value": round(t_full, 3),
+        "pages_per_sec_scalar_1core": round(60 / best_scalar, 1),
         "unit": "sec",
         "queries": queries,
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
