@@ -354,11 +354,11 @@ def test_afe_cap_bounds_unique_formatting_storm():
     # entries, so without the AFE size cap every text token reconstructs
     # all N formatting elements (O(N^2) nodes). Capped, parse time and
     # node count stay linear in the input.
-    import time
-
+    # No wall-clock bound (this VM has minutes-scale steal storms that
+    # inflate any timing 10-30x): the O(N^2) blowup is asserted via the
+    # NODE COUNT, which the AFE cap bounds to ~N * (_MAX_AFE + c) —
+    # the uncapped algorithm produces ~N^2/2 = 2M nodes here.
     html = "<body>" + "".join(f"<b id=i{i}>1<p>" for i in range(2000))
-    t0 = time.time()
     doc = parse_html(html)
-    assert time.time() - t0 < 5.0
     # each paragraph reopens at most _MAX_AFE formatting elements
     assert len(doc) < 2000 * 80
