@@ -445,6 +445,16 @@ class _TreeBuilder(HTMLParser):
             if fmt_pos < bookmark:
                 bookmark -= 1
             afe.insert(bookmark, [fmt_tag, fmt_attrs, new_fmt])
+            # Re-enforce the size cap: the delete+insert is net-zero per
+            # iteration, but the invariant must hold on every exit path,
+            # not just through _afe_push.
+            while len(afe) > _MAX_AFE:
+                for i, e in enumerate(afe):
+                    if e is not None:
+                        del afe[i]
+                        break
+                else:
+                    break
             # Stack: fmt out, new_fmt immediately below the block.
             del stack[stack_pos]
             fb_pos -= 1

@@ -137,11 +137,13 @@ def _stream_text(content: bytes) -> list[str]:
                 pass
             continue
         if tok in (b"Tj", b"'", b'"'):
+            if tok in (b"'", b'"'):
+                # ' is T* Tj and " is aw ac T* Tj: the line move happens
+                # BEFORE the string is shown, so the newline precedes it.
+                parts.append("\n")
             if pending:
                 flush_text(pending[-1])
             pending.clear()
-            if tok in (b"'", b'"'):
-                parts.append("\n")  # ' and " imply a line move first
             continue
         if tok == b"TJ":
             # pending interleaves the array's strings with b" " markers

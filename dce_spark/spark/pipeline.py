@@ -28,6 +28,7 @@ Scale notes (10^12-row framing):
 from __future__ import annotations
 
 import datetime as _dt
+import re
 import time
 from pathlib import Path
 
@@ -132,26 +133,59 @@ def run_pipeline(
         # equality check on low buckets while the isin filters silently
         # never select buckets >= `buckets` — half the corpus lost. The
         # distinct partition values expose that immediately.
-        stored = {
-            r.bucket for r in pages.select("bucket").distinct().collect()
+        # Prefer the PARTITION LISTING (driver-side file metadata — no
+        # Spark job over the data) to enumerate stored bucket values; a
+        # full distinct() scan of a 100-TB input just to validate its
+        # layout would defeat the pruning this branch exists for. When
+        # `bucket` is a plain data column (no hive dirs), fall back to a
+        # LIMIT-bounded distinct: among any `buckets`+1 DISTINCT ints at
+        # least one is outside range(buckets) (pigeonhole), so the limit
+        # is provably sufficient to detect a mismatched bucket count.
+        stored: set | None = None
+        dir_vals = {
+            m.group(1)
+            for f in pages.inputFiles()
+            for m in [re.search(r"/bucket=([^/]+)/", f)]
+            if m
         }
+        if dir_vals:
+            try:
+                stored = {int(v) for v in dir_vals}
+            except ValueError:
+                stored = None  # exotic partition values: re-derive below
+        if stored is None:
+            stored = {
+                r.bucket
+                for r in pages.select("bucket")
+                .distinct()
+                .limit(buckets + 1)
+                .collect()
+            }
         if any(b is None or b < 0 or b >= buckets for b in stored):
             raise ValueError(
-                f"input 'bucket' partition values {sorted(stored)[:8]}... "
-                f"fall outside range({buckets}); the input was written "
+                f"input 'bucket' partition values {sorted(stored, key=str)[:8]}"
+                f"... fall outside range({buckets}); the input was written "
                 "with a different bucket count — rewrite it or pass the "
                 "count it was partitioned with"
             )
-        sample = (
-            pages.select(
-                "bucket",
-                F.pmod(F.xxhash64("url"), F.lit(buckets))
-                .cast("int")
-                .alias("_expect"),
+        # pmod equality probe across SEVERAL buckets (a single limit(100)
+        # typically reads one partition dir and sees no bucket diversity).
+        probe_buckets = sorted(stored)
+        step = max(1, len(probe_buckets) // 4)
+        probe_buckets = probe_buckets[::step][:4]
+        sample = []
+        for b in probe_buckets:
+            sample.extend(
+                pages.filter(F.col("bucket") == b)
+                .select(
+                    "bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(buckets))
+                    .cast("int")
+                    .alias("_expect"),
+                )
+                .limit(25)
+                .collect()
             )
-            .limit(100)
-            .collect()
-        )
         if any(r.bucket != r._expect for r in sample):
             raise ValueError(
                 "input has a 'bucket' column that does not match "

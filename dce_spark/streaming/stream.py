@@ -11,6 +11,7 @@ comes from the source's file tracking + the sink's commit log.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from dce_spark.spark.schema import PAGES_SCHEMA
 from dce_spark.spark.udf import attach_extraction
@@ -63,6 +64,15 @@ def stream_dedup_extract(
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
+    )
+    # WARC records with a missing/unparsable WARC-Date arrive with
+    # warc_ts=null (see read_warc); a null event time would make the
+    # watermark operator silently drop the row. Substitute the ingest
+    # time so dateless crawl pages still flow through dedup — they
+    # dedup against each other within the watermark window like any
+    # freshly-crawled url.
+    pages = pages.withColumn(
+        "warc_ts", F.coalesce("warc_ts", F.current_timestamp())
     )
     deduped = pages.withWatermark("warc_ts", watermark)\
         .dropDuplicatesWithinWatermark(["url"])

@@ -71,8 +71,11 @@ def test_flate_compressed_pdf():
 def test_quote_operator_and_octal():
     content = b"BT (first) Tj (second) ' (oct\\101l) Tj ET"
     text = extract_pdf_text(make_pdf(content))
-    assert "first" in text and "second" in text
-    assert "octAl" in text  # \101 == 'A'
+    # ' moves to the next line BEFORE showing its string (T* then Tj), so
+    # "second" starts a new line (boundary after "first") and "octAl"
+    # (\101 == 'A', shown by plain Tj with no move) stays glued to it.
+    # Whitespace is collapsed to single spaces by the extractor tail.
+    assert text == "first secondoctAl"
 
 
 def test_non_pdf_and_garbage_total():

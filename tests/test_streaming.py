@@ -72,6 +72,9 @@ def test_stream_dedup_drops_repeated_urls(spark, tmp_path):
         ("https://a.test/1", ts, html, None, "en"),
         ("https://a.test/1", ts, html, None, "en"),  # dup in-batch
         ("https://a.test/2", ts, html, None, "en"),
+        # dateless WARC record (warc_ts=None): must NOT vanish at the
+        # watermark — ingest time is substituted for the event time.
+        ("https://a.test/3-no-date", None, html, None, "en"),
     ]
     spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(in_dir)
     q = stream_dedup_extract(spark, in_dir, out_dir, ck_dir)
@@ -81,4 +84,8 @@ def test_stream_dedup_drops_repeated_urls(spark, tmp_path):
         q.stop()
     out = spark.read.parquet(out_dir)
     urls = [r.url for r in out.select("url").collect()]
-    assert sorted(urls) == ["https://a.test/1", "https://a.test/2"]
+    assert sorted(urls) == [
+        "https://a.test/1",
+        "https://a.test/2",
+        "https://a.test/3-no-date",
+    ]
