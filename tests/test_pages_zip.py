@@ -82,3 +82,19 @@ def test_sas_page_structure(pages, name):
     densest = int(dt.sorted_nodes()[-1])
     assert dt.node_text(densest)
     assert float(dt.density[densest]) > 50.0
+
+
+def test_check_pages_example_no_leaks():
+    """examples/check_pages.py --assert-leaks mirrors e2e_leaks.rs."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, "examples/check_pages.py", "--assert-leaks"],
+        capture_output=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]

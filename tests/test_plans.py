@@ -87,3 +87,13 @@ def test_emb_dedup_no_crossjoin(spark):
     plan = _plan(e.queries()["emb_dedup"](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Python" not in plan
+
+
+def test_events_last_max_partial_agg_no_window(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["events_last_max"](spark, SF))
+    # top-1 per type is an aggregate with map-side partial combine, not
+    # a row_number window over the ~5-value key (one reducer per type)
+    assert "Window" not in plan
+    assert "partial_max" in plan

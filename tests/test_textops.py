@@ -323,6 +323,39 @@ def test_kmv_sketch_accuracy(spark):
     assert out["small"].kmv_estimate == 30.0  # < k: exact by construction
 
 
+def test_kmv_sketch_only_matches_and_merges(spark):
+    """kmv_sketch_only (no exact rider) matches kmv_distinct_sketch, and
+    the minima sketch merges: union two halves' minima arrays, keep the
+    k smallest -> same estimate as sketching the union directly."""
+    k = 64
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    half_a = [(i, " ".join(f"tok{j}" for j in range(i * 40, i * 40 + 40)),
+               "en", "s", 40) for i in range(10)]
+    half_b = [(100 + i, " ".join(f"tok{j}" for j in range(300 + i * 40,
+               300 + i * 40 + 40)), "en", "s", 40) for i in range(10)]
+    da = spark.createDataFrame(half_a, cols)
+    db = spark.createDataFrame(half_b, cols)
+    both = spark.createDataFrame(half_a + half_b, cols)
+
+    # production estimate == oracle-path estimate (same estimator)
+    prod = {r.source: r.kmv_estimate
+            for r in textops.kmv_sketch_only(both, k=k).collect()}
+    orac = {r.source: r.kmv_estimate
+            for r in textops.kmv_distinct_sketch(both, k=k).collect()}
+    assert prod == orac
+
+    def estimate(minima):
+        return (float(len(minima)) if len(minima) < k
+                else (k - 1) / minima[k - 1])
+
+    ma = textops.kmv_minima(da, k=k).collect()[0].minima
+    mb = textops.kmv_minima(db, k=k).collect()[0].minima
+    merged = sorted(set(ma) | set(mb))[:k]
+    whole = textops.kmv_minima(both, k=k).collect()[0].minima
+    assert merged == list(whole)  # sketch of union == merged sketches
+    assert round(estimate(merged), 2) == prod["s"]
+
+
 def test_deterministic_sample_reproducible(spark):
     rows = [(i, f"text {i}", "en" if i % 2 else "es", "s1", 8)
             for i in range(400)]
