@@ -16,10 +16,11 @@ Semantics mirrored:
   editor bookmarks (utils.rs:290-369). Text nodes are NOT content-
   filtered here (matching filtered_inner_html).
 
-The reference serializes pruned HTML and feeds the htmd converter; this
-implementation renders markdown directly from the node table (one pass,
-no re-parse). Output is CommonMark-shaped, not byte-identical to htmd —
-the byte-identical invariant applies to the text path only.
+The reference serializes pruned HTML and feeds the htmd converter
+(htmd::HtmlToMarkdown::new(), markdown.rs:119-126); this implementation
+follows the same dataflow — filtered_inner_html string, reparsed and
+converted by the vendored htmd port (dce_spark.core.htmdport), then
+Unicode-trimmed — so the output tracks htmd's default rule table.
 """
 
 from __future__ import annotations
@@ -28,15 +29,6 @@ from dce_spark.core.cetd import DensityTree
 from dce_spark.core.htmlparse import KIND_TEXT, Document
 from dce_spark.core.predicates import should_skip_element
 from dce_spark.core.textnorm import RUST_WHITESPACE, ascii_lower
-
-_HEADINGS = {"h1": "#", "h2": "##", "h3": "###", "h4": "####",
-             "h5": "#####", "h6": "######"}
-_BLOCK = frozenset(
-    "p div article section main aside header footer nav figure "
-    "figcaption blockquote ul ol li table tr h1 h2 h3 h4 h5 h6 pre hr "
-    "br".split()
-)
-
 
 def _has_data_uri_media(tag: str, attrs) -> bool:
     """reference src/utils.rs:354-369 (trim_start is Unicode ws)."""
@@ -60,148 +52,16 @@ def _is_editor_artifact_span(tag: str, attrs) -> bool:
     return attrs is not None and "data-mce-type" in attrs
 
 
-class _MdRenderer:
-    def __init__(self, doc: Document):
-        self.doc = doc
-        n = len(doc)
-        self.children: list[list[int]] = [[] for _ in range(n)]
-        for i in range(1, n):
-            self.children[doc.parent[i]].append(i)
-        self.blocks: list[str] = []
-        self.inline: list[str] = []
-
-    def _flush(self) -> None:
-        text = "".join(self.inline).strip()
-        self.inline = []
-        if text:
-            self.blocks.append(text)
-
-    def render_children(self, idx: int) -> str:
-        for c in self.children[idx]:
-            self._node(c, 0)
-        self._flush()
-        out = "\n\n".join(self.blocks)
-        self.blocks = []
-        return out.strip()
-
-    def _node(self, idx: int, list_depth: int) -> None:
-        doc = self.doc
-        if doc.kind[idx] == KIND_TEXT:
-            txt = doc.text[idx]
-            if txt:
-                self.inline.append(" ".join(txt.split()) or " ")
-            return
-        tag = doc.tag[idx]
-        attrs = doc.attrs[idx]
-        if (
-            should_skip_element(tag, attrs)
-            or _has_data_uri_media(tag, attrs)
-            or _is_editor_artifact_span(tag, attrs)
-        ):
-            return
-
-        if tag in _HEADINGS:
-            self._flush()
-            self.inline.append(_HEADINGS[tag] + " ")
-            for c in self.children[idx]:
-                self._node(c, list_depth)
-            self._flush()
-            return
-        if tag == "a":
-            href = (attrs or {}).get("href", "")
-            self.inline.append("[")
-            for c in self.children[idx]:
-                self._node(c, list_depth)
-            self.inline.append(f"]({href.strip()})" if href else "]()")
-            return
-        if tag == "img":
-            alt = (attrs or {}).get("alt", "")
-            src = (attrs or {}).get("src", "")
-            if src:
-                self.inline.append(f"![{alt}]({src.strip()})")
-            return
-        if tag in ("strong", "b"):
-            self.inline.append("**")
-            for c in self.children[idx]:
-                self._node(c, list_depth)
-            self.inline.append("**")
-            return
-        if tag in ("em", "i"):
-            self.inline.append("*")
-            for c in self.children[idx]:
-                self._node(c, list_depth)
-            self.inline.append("*")
-            return
-        if tag == "code":
-            self.inline.append("`")
-            for c in self.children[idx]:
-                self._node(c, list_depth)
-            self.inline.append("`")
-            return
-        if tag == "pre":
-            self._flush()
-            raw = "".join(
-                doc.text[j] or ""
-                for j in range(idx, doc.subtree_end[idx])
-                if doc.kind[j] == KIND_TEXT
-            )
-            self.blocks.append("```\n" + raw.strip("\n") + "\n```")
-            return
-        if tag == "br":
-            self.inline.append("\n")
-            return
-        if tag == "hr":
-            self._flush()
-            self.blocks.append("---")
-            return
-        if tag in ("ul", "ol"):
-            self._flush()
-            ordered = tag == "ol"
-            items = []
-            k = 0
-            for c in self.children[idx]:
-                if doc.kind[c] != KIND_TEXT and doc.tag[c] == "li":
-                    k += 1
-                    sub = _MdRenderer.__new__(_MdRenderer)
-                    sub.doc = doc
-                    sub.children = self.children
-                    sub.blocks = []
-                    sub.inline = []
-                    body = sub.render_children(c).replace("\n\n", "\n")
-                    marker = f"{k}. " if ordered else "- "
-                    indent = "  " * list_depth
-                    items.append(indent + marker + body)
-            if items:
-                self.blocks.append("\n".join(items))
-            return
-        if tag == "blockquote":
-            self._flush()
-            sub = _MdRenderer.__new__(_MdRenderer)
-            sub.doc = doc
-            sub.children = self.children
-            sub.blocks = []
-            sub.inline = []
-            inner = sub.render_children(idx)
-            if inner:
-                self.blocks.append(
-                    "\n".join("> " + ln for ln in inner.splitlines())
-                )
-            return
-        if tag in _BLOCK:
-            self._flush()
-            for c in self.children[idx]:
-                self._node(c, list_depth)
-            self._flush()
-            return
-        # inline-ish unknown element: recurse transparently
-        for c in self.children[idx]:
-            self._node(c, list_depth)
-
-
 def render_markdown(doc: Document, container_idx: int) -> str:
-    """Markdown of the container's inner content, with non-content
-    subtrees pruned (the filtered_inner_html + htmd pipeline analogue)."""
-    return _MdRenderer(doc).render_children(container_idx)
+    """Markdown of the container's inner content — the reference's
+    exact dataflow (src/markdown.rs:117-126): serialize the pruned
+    inner HTML, hand the STRING to the converter (which reparses it,
+    like htmd's html5ever parse does — fragment-reparse quirks and
+    all), trim the result (Rust str::trim = Unicode White_Space)."""
+    from dce_spark.core.htmdport import convert_to_markdown
+
+    html = filtered_inner_html(doc, container_idx)
+    return convert_to_markdown(html).strip(RUST_WHITESPACE)
 
 
 def extract_content_as_markdown(dtree: DensityTree) -> str:

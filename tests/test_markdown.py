@@ -79,11 +79,13 @@ def test_markdown_headings_and_lists():
     md = md_for(
         "<body><article><h2>Title Here</h2><p>Body paragraph text for density"
         " purposes with enough words.</p><ul><li>alpha</li><li>beta</li></ul>"
-        "<pre>  raw code  </pre></article></body>"
+        "<pre><code>  raw code  </code></pre></article></body>"
     )
+    # htmd-default shapes: ATX heading, '*   ' bullets, 4-space
+    # indented code block (pre > code)
     assert "## Title Here" in md
-    assert "- alpha" in md and "- beta" in md
-    assert "```" in md
+    assert "*   alpha\n*   beta" in md
+    assert "\n\n      raw code" in md
 
 
 def test_markdown_no_leaks_on_real_pages(pages):
