@@ -122,43 +122,61 @@ def embedding_dedup(
     threshold: float = 0.9,
     n_planes: int | None = None,
     dim: int = 64,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup decision.
 
-    LSH buckets generate the candidate pairs (equi-join on bucket id —
-    no crossJoin anywhere), exact cosine filters them, and each vector
-    keeps the smallest vec_id among itself and its >= threshold
-    neighbors — the same single-pass keeper rule as minhash_dedup (a
-    transitive closure would need iteration; one pass is the standard
-    streaming-friendly decision). The output is TOTAL over the input:
-    vectors with no qualifying neighbors keep themselves.
+    LSH buckets generate the candidate pairs (equi-join on
+    (table, bucket) id — no crossJoin anywhere), exact cosine filters
+    them, and each vector keeps the smallest vec_id among itself and
+    its >= threshold neighbors — the same single-pass keeper rule as
+    minhash_dedup (a transitive closure would need iteration; one pass
+    is the standard streaming-friendly decision). The output is TOTAL
+    over the input: vectors with no qualifying neighbors keep
+    themselves.
+
+    Banded multi-table LSH (``n_tables`` > 1, the 10^12-scale path):
+    occupancy is controlled by ``n_planes`` ALONE (expected bucket size
+    N/2^planes per table), so the plane count can grow with the corpus
+    without a recall cliff — each of the L independent tables re-draws
+    the hyperplanes, and a true neighbor pair is a candidate if it
+    collides in ANY table (P[hit] = 1-(1-p^b)^L, the classic
+    Indyk-Motwani amplification). Duplicate cross-table edges are
+    deduped before the keeper aggregation.
     """
-    if n_planes is None:
-        n_planes = derive_n_planes(embeddings.count())
-    with_bucket = embeddings.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        "embedding",
-        lsh_bucket_col(F.col("embedding"), n_planes, dim).alias("bucket"),
-    )
+    if n_planes is None or n_tables is None:
+        d_planes, d_tables = derive_lsh_params(embeddings.count())
+        n_planes = n_planes if n_planes is not None else d_planes
+        n_tables = n_tables if n_tables is not None else d_tables
+    with_bucket = _with_table_buckets(embeddings, n_planes, dim, n_tables)
     a = with_bucket.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+        "tbl", "bucket",
     )
     b = with_bucket.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+        "tbl", "bucket",
     )
     edges = (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .filter(cosine_similarity_col(F.col("ea"), F.col("eb")) >= threshold)
         .select("a", "b")
     )
+    if n_tables > 1:
+        # a pair colliding in several tables yields duplicate edges;
+        # they must not double-count in the keeper min (harmless) but
+        # would inflate the shuffle — dedup once, right after the
+        # cheap (a, b) projection
+        edges = edges.distinct()
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     nbr_min = sym.groupBy("a").agg(F.min("b").alias("nbr"))
-    total = with_bucket.select("vec_id").join(
-        nbr_min, with_bucket.vec_id == nbr_min.a, "left"
+    ids = with_bucket.select("vec_id").distinct() if n_tables > 1 else (
+        with_bucket.select("vec_id")
     )
+    total = ids.join(nbr_min, ids.vec_id == nbr_min.a, "left")
     keep = F.least(F.col("vec_id"), F.coalesce(F.col("nbr"), F.col("vec_id")))
     return total.select(
         F.col("vec_id"),
@@ -171,13 +189,16 @@ def derive_n_planes(
     n_candidates: int,
     target_bucket: int = 256,
     min_planes: int = 6,
-    max_planes: int = 24,
+    max_planes: int = 48,
 ) -> int:
     """Plane count must grow with the corpus: 2^planes buckets sized so
     the EXPECTED bucket holds ~target_bucket candidates (at 10^9 vectors
     a fixed 64-bucket table degenerates to ~10^7-candidate buckets).
-    Clamped to [min_planes, max_planes]; at sandbox scales this returns
-    min_planes, keeping the oracle stable."""
+    At 10^12 vectors this returns 32 — the recall cost of long codes is
+    paid back by multi-table amplification (see derive_lsh_params), NOT
+    by clamping occupancy into the quadratic regime (the round-2
+    max_planes=24 clamp meant ~60k-vector buckets at 10^12). The 48 cap
+    only guards the int64 bucket id."""
     import math
 
     if n_candidates <= 0:
@@ -186,23 +207,71 @@ def derive_n_planes(
     return max(min_planes, min(max_planes, need))
 
 
-def _hyperplane_weights(n_planes: int, dim: int):
-    """Deterministic integer 'hyperplanes': w(p, d) = ((p*73 + d*37) % 19) - 9.
-    Integer weights keep sign(dot) exactly reproducible across engines."""
+def derive_lsh_params(n_candidates: int) -> tuple[int, int]:
+    """(n_planes, n_tables) for a corpus size: planes keep expected
+    bucket occupancy ~256 (linear candidate generation at any N);
+    tables restore the recall that longer codes cost. L grows one
+    table per ~8 planes past 16 — at sandbox scales this is (6, 1), so
+    every pinned oracle is untouched; at 10^12 it is (32, 3)."""
+    n_planes = derive_n_planes(n_candidates)
+    n_tables = 1 + max(0, (n_planes - 16) + 7) // 8 if n_planes > 16 else 1
+    return n_planes, min(n_tables, 8)
+
+
+def _with_table_buckets(
+    embeddings: DataFrame, n_planes: int, dim: int, n_tables: int
+) -> DataFrame:
+    """(vec_id, embedding, tbl, bucket) — one row per (vector, table).
+    n_tables=1 keeps the original single-bucket projection (no explode)
+    so pinned-plane plans and oracles are byte-identical to round 2."""
+    vid = F.col("vec_id").cast("long").alias("vec_id")
+    if n_tables <= 1:
+        return embeddings.select(
+            vid,
+            "embedding",
+            F.lit(0).alias("tbl"),
+            lsh_bucket_col(F.col("embedding"), n_planes, dim).alias("bucket"),
+        )
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_col(
+                    F.col("embedding"), n_planes, dim, table=t
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return embeddings.select(vid, "embedding", F.explode(tb).alias("_tb")).select(
+        "vec_id", "embedding", F.col("_tb.tbl").alias("tbl"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+
+
+def _hyperplane_weights(n_planes: int, dim: int, table: int = 0):
+    """Deterministic integer 'hyperplanes':
+    w(p, d, t) = ((p*73 + d*37 + t*7919) % 19) - 9.
+    Integer weights keep sign(dot) exactly reproducible across engines;
+    table=0 reproduces the round-2 family exactly (oracle-pinned), each
+    further table re-draws an independent sign pattern."""
+    off = table * 7919
     return [
-        [((p * 73 + d * 37) % 19) - 9 for d in range(dim)] for p in range(n_planes)
+        [((p * 73 + d * 37 + off) % 19) - 9 for d in range(dim)]
+        for p in range(n_planes)
     ]
 
 
-def lsh_bucket_col(emb_col, n_planes: int, dim: int):
-    planes = _hyperplane_weights(n_planes, dim)
+def lsh_bucket_col(emb_col, n_planes: int, dim: int, table: int = 0):
+    planes = _hyperplane_weights(n_planes, dim, table)
     bits = []
     for p in range(n_planes):
         w = F.array(*[F.lit(float(x)) for x in planes[p]])
         bits.append(F.when(_dot(emb_col, w) >= 0, F.lit(1)).otherwise(F.lit(0)))
-    bucket = F.lit(0)
+    # bigint bucket: plane counts up to 48 exceed int32
+    bucket = F.lit(0).cast("long")
     for i, b in enumerate(bits):
-        bucket = bucket + (b.cast("int") * F.lit(1 << i))
+        bucket = bucket + (b.cast("long") * F.lit(1 << i).cast("long"))
     return bucket
 
 
@@ -213,6 +282,7 @@ def lsh_topk(
     n_planes: int | None = None,
     dim: int = 64,
     probes: int = 1,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates join queries on bucket id only.
 
@@ -228,26 +298,34 @@ def lsh_topk(
       ``probes - 1`` planes), recovering neighbors that fell across a
       single hyperplane. probes=1 is exactly the single-bucket search
       (oracle-identical).
+    * ``n_tables`` > 1 (banded multi-table LSH, the 10^12-scale path):
+      L independent hyperplane families; candidates occupy one bucket
+      PER table and a (query, cand) pair is scored if it collides in
+      any table (cross-table duplicates deduped before ranking). This
+      is what lets ``n_planes`` track the corpus size — occupancy stays
+      N/2^planes linear while recall is amplified 1-(1-p^b)^L.
     """
     from pyspark.sql.window import Window
 
-    if n_planes is None:
-        n_planes = derive_n_planes(embeddings.count())
-    with_bucket = embeddings.withColumn(
-        "bucket", lsh_bucket_col(F.col("embedding"), n_planes, dim)
-    )
+    if n_planes is None or n_tables is None:
+        d_planes, d_tables = derive_lsh_params(embeddings.count())
+        n_planes = n_planes if n_planes is not None else d_planes
+        n_tables = n_tables if n_tables is not None else d_tables
+    with_bucket = _with_table_buckets(embeddings, n_planes, dim, n_tables)
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("tbl"),
         F.col("bucket"),
     )
     if probes > 1:
-        # probe buckets: the home bucket + single-bit flips; a candidate
-        # occupies exactly one bucket, so no pair is produced twice
+        # probe buckets: the home bucket + single-bit flips; within one
+        # table a candidate occupies exactly one bucket, so no pair is
+        # produced twice by probing (cross-TABLE dups handled below)
         probe_buckets = F.array(
             F.col("bucket"),
             *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
                 for p in range(min(probes - 1, n_planes))
             ],
         )
@@ -255,16 +333,21 @@ def lsh_topk(
     cands = with_bucket.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
+        F.col("tbl"),
         F.col("bucket"),
     )
     scored = (
-        cands.join(F.broadcast(queries), "bucket")
+        cands.join(F.broadcast(queries), ["tbl", "bucket"])
         .withColumn(
             "cosine_r",
             F.round(cosine_similarity_col(F.col("q_emb"), F.col("c_emb")), 6),
         )
         .select("query_id", "cand_id", "cosine_r")
     )
+    if n_tables > 1:
+        # same pair found via several tables: the score is identical
+        # (deterministic f64 fold + round), so a plain distinct dedups
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_r").desc(), F.col("cand_id").asc()
     )

@@ -97,3 +97,20 @@ def test_events_last_max_partial_agg_no_window(spark):
     # a row_number window over the ~5-value key (one reducer per type)
     assert "Window" not in plan
     assert "partial_max" in plan
+
+
+def test_lsh_multitable_no_crossjoin(spark):
+    """The 10^12-scale banded LSH path stays an equi-join on
+    (tbl, bucket) — no cartesian/broadcast-nested-loop anywhere, and
+    the cross-table pair dedup is a hash aggregate, not a sort."""
+    from dce_spark.functions.simsearch import embedding_dedup, lsh_topk
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    for df in (
+        lsh_topk(emb, n_queries=5, k=3, n_planes=10, n_tables=3),
+        embedding_dedup(emb, threshold=0.9, n_planes=10, n_tables=3),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "Python" not in plan

@@ -210,10 +210,74 @@ def test_lsh_multiprobe_recall_vs_brute_force(spark):
     # 0.12 -> 0.30 across probes 1 -> 7 (~3x chance). Assert 2x chance.
     assert recall7 >= 0.25
 
-    # derive_n_planes: constant bucket occupancy as the corpus grows
+    # derive_n_planes: constant bucket occupancy as the corpus grows —
+    # NOT clamped into the quadratic regime anymore (10^12/2^32 ~ 233
+    # per bucket); recall past 16 planes comes from multi-table
+    # amplification (derive_lsh_params)
+    from dce_spark.functions.simsearch import derive_lsh_params
+
     assert derive_n_planes(500) == 6
     assert derive_n_planes(10**9) == 22
-    assert derive_n_planes(10**12) == 24  # clamped
+    assert derive_n_planes(10**12) == 32
+    assert derive_lsh_params(500) == (6, 1)  # sandbox: oracle-pinned
+    assert derive_lsh_params(10**9) == (22, 2)
+    assert derive_lsh_params(10**12) == (32, 3)
+
+
+def test_lsh_multitable_recall_and_oracle_stability(spark):
+    """Banded multi-table LSH: (a) n_tables=1 output is IDENTICAL to
+    the round-2 single-table path at pinned planes (oracle stability);
+    (b) on a 10x corpus with long codes, L tables recover the recall
+    single-table long codes lose; (c) recall >= 0.9 vs brute force on
+    clustered data."""
+    import numpy as np
+
+    from dce_spark.functions.simsearch import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    # 40 well-separated cluster centers x 50 members = 2000 vectors
+    # (the '10x corpus' vs the 200-vector fixtures elsewhere)
+    centers = rng.randn(40, dim) * 4.0
+    rows = []
+    vid = 0
+    for c in range(40):
+        for _ in range(50):
+            v = centers[c] + rng.randn(dim) * 0.05
+            rows.append((vid, [float(x) for x in v], f"c{c}"))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def topk_set(df):
+        return {(r.query_id, r.cand_id) for r in df.collect()}
+
+    # (a) pinned single-table == legacy behavior (same call, n_tables=1)
+    base = topk_set(
+        lsh_topk(emb, n_queries=5, k=3, n_planes=6, dim=dim, n_tables=1)
+    )
+    again = topk_set(
+        lsh_topk(emb, n_queries=5, k=3, n_planes=6, dim=dim)
+    )
+    assert base == again
+
+    # (b)+(c) long codes, multi-table: recall >= 0.9 vs brute force
+    exact = topk_set(brute_force_topk(emb, n_queries=5, k=3))
+    multi = topk_set(
+        lsh_topk(emb, n_queries=5, k=3, n_planes=12, dim=dim, n_tables=4)
+    )
+    single = topk_set(
+        lsh_topk(emb, n_queries=5, k=3, n_planes=12, dim=dim, n_tables=1)
+    )
+    recall_multi = len(multi & exact) / len(exact)
+    recall_single = len(single & exact) / len(exact)
+    assert recall_multi >= recall_single  # amplification never hurts
+    assert recall_multi >= 0.9
+
+    # dedup totality holds through the multi-table path
+    dd = embedding_dedup(
+        emb, threshold=0.95, n_planes=12, dim=dim, n_tables=4
+    )
+    assert dd.count() == 2000
 
 
 def test_rolling_fingerprint_order_sensitive(spark):
