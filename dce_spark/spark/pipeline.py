@@ -109,6 +109,8 @@ def run_pipeline(
     salt_factor: int = 4,
     max_commits: int | None = None,
     sink: str = "parquet",
+    table_provider: str = "iceberg",
+    manifest_path: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job.
 
@@ -116,6 +118,18 @@ def run_pipeline(
     buckets; each commit processes ``buckets_per_commit`` of them,
     writes their output partitions, then appends manifest rows (the
     commit point). ``max_commits`` exists for kill-and-rerun tests.
+
+    ``sink="table"`` writes through the DataFrameWriterV2 path
+    (``writeTo(output_path).overwritePartitions()`` with a
+    ``partitionedBy(bucket)`` CTAS on first contact) — ``output_path``
+    is then a catalog table name and ``table_provider`` the table
+    format. ``sink="iceberg"`` is that same path with the iceberg
+    provider pinned; in environments without the iceberg-spark runtime
+    jar the identical code path is exercised against the session
+    catalog with ``table_provider="parquet"`` (see
+    tests/test_pipeline_resume.py). ``manifest_path`` locates the
+    lineage manifests for table sinks (defaults to the parquet
+    convention ``<output_path>/_manifest``).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pages = spark.read.parquet(input_path)
@@ -200,7 +214,11 @@ def run_pipeline(
         )
         pre_bucketed = False
 
-    done = completed_buckets(spark, output_path)
+    table_sink = sink in ("iceberg", "table")
+    if sink == "iceberg":
+        table_provider = "iceberg"
+    manifest_root = manifest_path if manifest_path is not None else output_path
+    done = completed_buckets(spark, manifest_root)
     todo = [b for b in range(buckets) if b not in done]
     commits = 0
     # A pre-bucketed input is already url-hash-spread (write-time
@@ -230,20 +248,23 @@ def run_pipeline(
         # Dynamic partition overwrite: rewriting a bucket is idempotent,
         # so a crash between data write and manifest append cannot
         # duplicate urls on rerun (the bucket is simply rewritten).
-        if sink == "iceberg":
-            # Iceberg mapping of the same commit protocol: the table is
-            # partitioned by bucket and each chunk lands as one snapshot
-            # (overwritePartitions == dynamic overwrite of exactly the
-            # chunk's buckets); resume reads the manifest table exactly
-            # as in the parquet path. Needs the iceberg-spark runtime on
-            # the classpath (absent in this sandbox, hence untestable
-            # here); `output_path` is then a catalog table name.
+        if table_sink:
+            # Catalog-table mapping of the same commit protocol: the
+            # table is partitioned by bucket and each chunk lands as
+            # one snapshot (overwritePartitions == dynamic overwrite of
+            # exactly the chunk's buckets); resume reads the manifest
+            # table exactly as in the parquet path. With
+            # table_provider="iceberg" this needs the iceberg-spark
+            # runtime jar; the code path itself is exercised in tests
+            # against the session catalog with a parquet-provider table.
             try:
                 extracted.writeTo(output_path).overwritePartitions()
             except Exception:
+                # first contact: CTAS partitioned by bucket; any real
+                # write fault resurfaces from the create immediately
                 (
                     extracted.writeTo(output_path)
-                    .using("iceberg")
+                    .using(table_provider)
                     .partitionedBy(F.col("bucket"))
                     .create()
                 )
@@ -256,7 +277,7 @@ def run_pipeline(
 
         wall_ms = int((time.time() - t0) * 1000)
         try:
-            if sink == "iceberg":
+            if table_sink:
                 committed = spark.table(output_path)
             else:
                 committed = spark.read.parquet(_data_dir(output_path))
@@ -290,7 +311,9 @@ def run_pipeline(
             .withColumn("committed_at", F.lit(_dt.datetime.now()))
             .select(*[f.name for f in MANIFEST_SCHEMA.fields])
         )
-        manifest_rows.write.mode("append").parquet(_manifest_dir(output_path))
+        manifest_rows.write.mode("append").parquet(
+            _manifest_dir(manifest_root)
+        )
         commits += 1
 
     return {
