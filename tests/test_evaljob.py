@@ -85,7 +85,11 @@ def test_committed_gold_is_falsifiable(spark):
     repo = Path(__file__).resolve().parent.parent
     golden = pq.read_table(repo / "testdata" / "golden_eval_scores.parquet")
     expected_f1 = golden.to_pylist()[0]["avg_f1_r"]
-    assert expected_f1 >= 0.9  # healthy extractor scores near 1
+    # the 130-pair corpus includes 110 realistic template pages whose
+    # gold is independent of the extractor, so a healthy extractor
+    # scores well below 1.0 (committed 0.83 — same ballpark as the
+    # reference's published CleanEval F1=0.78) but comfortably high
+    assert 0.7 <= expected_f1 < 1.0
 
     gold = spark.read.parquet(str(repo / "testdata" / "eval_gold.parquet"))
     # broken extractor: keep only the first 25% of each gold text
@@ -118,3 +122,18 @@ def test_scores_use_utf8_byte_lengths(spark):
     assert s.precision == pytest.approx(lcs / byte_len)
     # code-point denominator would differ (11 multi-byte chars)
     assert s.precision != pytest.approx(lcs / len(norm))
+
+
+def test_eval_corpus_deterministic_and_independent():
+    """eval pages are seed-stable and their gold comes from the content
+    model, not the extractor (no extract_page call in generation)."""
+    from dce_spark.spark.evalcorpus import eval_page
+
+    a, b = eval_page(3), eval_page(3)
+    assert a["html"] == b["html"] and a["gold_text"] == b["gold_text"]
+    # all six templates appear across ids
+    urls = {eval_page(i)["url"].split(".")[0] for i in range(6)}
+    assert len(urls) == 6
+    # gold is not the extractor's output: boilerplate words present in
+    # html (comments/nav) are absent from gold
+    assert "Comments" in a["html"].decode() or "Related" in a["html"].decode()

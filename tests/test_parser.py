@@ -362,3 +362,76 @@ def test_afe_cap_bounds_unique_formatting_storm():
     doc = parse_html(html)
     # each paragraph reopens at most _MAX_AFE formatting elements
     assert len(doc) < 2000 * 80
+
+
+# ---- MB-scale adversarial stress (node-count proxies; wall-clock
+# asserts are banned on this steal-prone VM) ----
+
+
+def test_mb_scale_deep_nesting_at_depth_cap():
+    # 500k unclosed <div> (~2.5 MB): the open-element depth cap (512)
+    # must flatten everything past it — node count stays ~500k + text,
+    # depth never exceeds the cap, and subtree invariants hold.
+    html = "<body>" + "<div>" * 500_000 + "payload text"
+    doc = parse_html(html)
+    assert len(doc) <= 500_002
+    # max depth via parent-chain length of the deepest (last) node
+    depth = 0
+    i = len(doc) - 1
+    while i > 0:
+        i = doc.parent[i]
+        depth += 1
+    assert depth <= 513
+    # the text payload survives
+    assert any(doc.kind[j] == 1 and "payload" in (doc.text[j] or "")
+               for j in range(len(doc)))
+
+
+def test_mb_scale_wide_flat_siblings():
+    # 300k sibling elements (~4 MB): linear node count, body holds all
+    html = "<body>" + "<p>x</p>" * 300_000
+    doc = parse_html(html)
+    assert 600_000 <= len(doc) <= 600_001 + 1
+    assert doc.subtree_end[0] == len(doc)
+
+
+def test_mb_scale_element_with_100k_attributes():
+    # one element carrying 10^5 attributes (~1.6 MB of attr text): the
+    # tree must stay tiny (1 element + text) and all attrs parse
+    attrs = " ".join(f"a{i}=v{i}" for i in range(100_000))
+    doc = parse_html(f"<body><div {attrs}>t</div>")
+    assert len(doc) <= 4
+    div = next(i for i in range(len(doc)) if doc.tag[i] == "div")
+    assert len(doc.attrs[div]) == 100_000
+    assert doc.attrs[div]["a99999"] == "v99999"
+
+
+def test_mb_scale_unterminated_comment_and_rawtext():
+    # a 2 MB unterminated comment swallows the rest of the input
+    # without blowing up; same for an unterminated <script>
+    blob = "x" * 2_000_000
+    doc = parse_html(f"<body><p>before</p><!-- {blob}")
+    texts = [doc.text[i] for i in range(len(doc)) if doc.kind[i] == 1]
+    assert texts == ["before"]  # comment content never becomes text
+    doc2 = parse_html(f"<body><p>b</p><script>{blob}")
+    # rawtext is kept as the script's single text child (html5ever
+    # keeps it too; the content filters drop it downstream)
+    script = next(i for i in range(len(doc2)) if doc2.tag[i] == "script")
+    assert doc2.text[script + 1] == blob
+    assert len(doc2) == 5
+
+
+def test_mb_scale_table_foster_storm():
+    # 50k text tokens inside <table> all foster-parent before it:
+    # linear nodes, no quadratic reinsert
+    html = "<body><table>" + "a<td>b</td>" * 50_000
+    doc = parse_html(html)
+    assert len(doc) < 50_000 * 5
+
+
+def test_mb_scale_entity_flood():
+    # 500k entities in one text run decode linearly
+    html = "<body><p>" + "&amp;" * 500_000
+    doc = parse_html(html)
+    texts = [doc.text[i] for i in range(len(doc)) if doc.kind[i] == 1]
+    assert "".join(texts) == "&" * 500_000

@@ -123,6 +123,13 @@ def build_eval_gold() -> pa.Table:
         gold_rows.append(
             {"stem": row["url"], "gold_text": "http://gold.url/line\n" + text}
         )
+    # realistic template corpus: gold is the GENERATOR's content model,
+    # independent of the extractor (non-circular measurement; see
+    # dce_spark/spark/evalcorpus.py)
+    from dce_spark.spark.evalcorpus import eval_rows
+
+    for row in eval_rows(110):
+        gold_rows.append({"stem": row["url"], "gold_text": row["gold_text"]})
     return pa.Table.from_pylist(gold_rows)
 
 
