@@ -481,6 +481,76 @@ def kmv_distinct_sketch(documents: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, k: int = 3
+) -> DataFrame:
+    """Benchmark decontamination — the standard training-data hygiene
+    op: flag every document sharing ANY word k-gram with a held-out
+    benchmark/test set, so eval data can be excluded from training
+    corpora.
+
+    Spark shape: the benchmark's distinct shingles are the small side
+    — broadcast them against the corpus shingle table (scan-side probe,
+    no shuffle of the big side). At a 10^8-ngram benchmark, drop the
+    hint: AQE falls back to a shuffled hash join on the shingle key,
+    still linear. Output is TOTAL over documents (hit_shingles = number
+    of distinct contaminated shingles in the doc, 0 when clean).
+    """
+    bench_sh = (
+        benchmark.select(F.explode(_shingles(k)).alias("shingle")).distinct()
+    )
+    doc_sh = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_shingles(k)).alias("shingle"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("hit_shingles"))
+    )
+    return (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .na.fill({"hit_shingles": 0})
+        .select(
+            "doc_id",
+            "hit_shingles",
+            (F.col("hit_shingles") > 0).alias("contaminated"),
+        )
+    )
+
+
+# PII patterns written to the common subset of Java regex (Spark) and
+# RE2 (DuckDB/Go scanners): no lookaround, no backrefs.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+\d[\d\-]{7,14}\d"),
+)
+
+
+def pii_redact(documents: DataFrame, text_col="text") -> DataFrame:
+    """PII scrubbing for training text: count and redact emails, IPv4
+    addresses, and international-format phone numbers. Pure projection
+    (regexp_count + chained regexp_replace — whole-stage codegen, no
+    shuffle, no Python). Redaction order is part of the contract:
+    emails first (their local parts can contain digits), then IPs,
+    then phones."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    red = text
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *counts,
+        red.alias("redacted_text"),
+    )
+
+
 def kmv_minima(documents: DataFrame, k: int = 64) -> DataFrame:
     """The KMV sketch itself: the k smallest distinct token-hash values
     per source, as a sorted ``array<double>``.

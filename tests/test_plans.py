@@ -114,3 +114,15 @@ def test_lsh_multitable_no_crossjoin(spark):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
         assert "Python" not in plan
+
+
+def test_decontaminate_broadcast_and_pii_projection(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # benchmark shingles broadcast
+    assert "Python" not in plan
+
+    plan2 = _plan(e.queries()["doc_pii_redact"](spark, SF))
+    assert plan2.count("Exchange") == 0  # pure projection, shuffle-free
+    assert "Python" not in plan2

@@ -474,3 +474,50 @@ def test_char_entropy_and_compression_quality_signals(spark):
     assert comp[3].ratio == 1.0 and comp[3].raw_bytes == 0
     import zlib
     assert comp[1].compressed_bytes == len(zlib.compress(prose.encode(), 6))
+
+
+def test_decontaminate_flags_overlap(spark):
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high", "en", "s", 30),
+            (2, "completely different words here now", "en", "s", 35),
+            (3, "we saw the quick brown fox yesterday", "en", "s", 37),
+            (4, "ab", "en", "s", 2),  # shorter than one 3-gram: clean
+        ],
+        cols,
+    )
+    bench = spark.createDataFrame(
+        [(99, "a quick brown fox appeared", "en", "b", 26)], cols
+    )
+    out = {r.doc_id: r for r in textops.decontaminate(docs, bench).collect()}
+    assert len(out) == 4  # total over input
+    # bench 3-grams: "a quick brown", "quick brown fox",
+    # "brown fox appeared" -> docs 1 and 3 each share exactly
+    # "quick brown fox"
+    assert out[1].contaminated and out[1].hit_shingles == 1
+    assert out[3].contaminated and out[3].hit_shingles == 1
+    assert not out[2].contaminated and out[2].hit_shingles == 0
+    assert not out[4].contaminated
+
+
+def test_pii_redact_counts_and_replacement(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "write to alice.b+spam@corp.example.org or call +12345678901 "
+                "from 192.168.0.12 thanks", "en", "s", 80),
+            (2, "no pii in this text at all", "en", "s", 26),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r for r in textops.pii_redact(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_phone) == (1, 1, 1)
+    assert "<EMAIL>" in r1.redacted_text
+    assert "<IPV4>" in r1.redacted_text
+    assert "<PHONE>" in r1.redacted_text
+    assert "alice" not in r1.redacted_text
+    assert "192.168" not in r1.redacted_text
+    r2 = out[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_phone) == (0, 0, 0)
+    assert r2.redacted_text == "no pii in this text at all"
