@@ -1130,8 +1130,23 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
                 pos = n if gt < 0 else gt + 1
             continue
         if m.group("comment"):
+            # Spec comment-end handling: "<!-->" / "<!--->" are
+            # abruptly-closed empty comments, and "--!>" also closes a
+            # comment (incorrectly-closed-comment parse error) — both
+            # matter only for WHERE the comment ends, since comment
+            # data is dropped.
+            if html.startswith(">", pos):
+                pos += 1
+                continue
+            if html.startswith("->", pos):
+                pos += 2
+                continue
             end = find("-->", pos)
-            pos = n if end < 0 else end + 3
+            bang = find("--!>", pos)
+            if bang >= 0 and (end < 0 or bang < end):
+                pos = bang + 4
+            else:
+                pos = n if end < 0 else end + 3
             continue
         decl = m.group("decl")
         if decl is not None:

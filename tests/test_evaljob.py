@@ -137,3 +137,22 @@ def test_eval_corpus_deterministic_and_independent():
     # gold is not the extractor's output: boilerplate words present in
     # html (comments/nav) are absent from gold
     assert "Comments" in a["html"].decode() or "Related" in a["html"].decode()
+
+
+def test_bitparallel_lcs_equals_dp_property():
+    """The bit-parallel word-LCS must be EXACTLY the DP on arbitrary
+    inputs (including empties, repeats, full overlap, disjoint)."""
+    import random
+
+    from dce_spark.spark.evaljob import _word_lcs_chars_dp
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)] + ["été", "日本", "a'b"]
+    for _ in range(400):
+        s1 = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+        s2 = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+        assert word_lcs_chars(s1, s2) == _word_lcs_chars_dp(s1, s2), (s1, s2)
+    assert word_lcs_chars("", "x y") == 0
+    assert word_lcs_chars("a b c", "a b c") == _word_lcs_chars_dp(
+        "a b c", "a b c"
+    )

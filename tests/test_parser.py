@@ -435,3 +435,18 @@ def test_mb_scale_entity_flood():
     doc = parse_html(html)
     texts = [doc.text[i] for i in range(len(doc)) if doc.kind[i] == 1]
     assert "".join(texts) == "&" * 500_000
+
+
+def test_comment_end_edges_spec():
+    """Spec comment termination: <!--> and <!---> are abruptly-closed
+    empty comments; --!> also closes a comment. Only the END position
+    is observable (comment data is dropped)."""
+    def texts(h):
+        doc = parse_html(h)
+        return [doc.text[i] for i in range(len(doc)) if doc.kind[i] == 1]
+
+    assert texts("<body><!-->visible<p>x") == ["visible", "x"]
+    assert texts("<body><!--->also<p>y") == ["also", "y"]
+    assert texts("<body><!-- a --!><p>w") == ["w"]
+    assert texts("<body><!-- a --!>tail<!-- b -->end") == ["tailend"]
+    assert texts("<body><!-- unterminated x<p>q") == []
