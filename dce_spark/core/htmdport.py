@@ -180,31 +180,14 @@ def _collapse_exact(root: _El) -> None:
 # ---------------------------------------------------------------------
 
 
-def _text_content(node) -> str:
-    if isinstance(node, _Tx):
-        return node.data
-    return "".join(_text_content(c) for c in node.children)
-
-
-def _has_tag_in(node, names: frozenset) -> bool:
-    if isinstance(node, _Tx):
-        return False
-    if node.tag in names:
-        return True
-    return any(_has_tag_in(c, names) for c in node.children)
-
-
-def _is_blank(node: _El) -> bool:
-    return (
-        node.tag not in _VOID
-        and node.tag not in _MEANINGFUL_WHEN_BLANK
-        and _text_content(node).strip() == ""
-        and not _has_tag_in(node, _VOID)
-        and not _has_tag_in(node, _MEANINGFUL_WHEN_BLANK)
-    )
+# conservative superset of every character the escape table can touch:
+# specials anywhere, or a marker character at a line start
+_ESCAPE_TRIGGER = re.compile(r"[\\*`\[\]_]|^[-+=#>~0-9]", re.M)
 
 
 def _escape_md(text: str) -> str:
+    if _ESCAPE_TRIGGER.search(text) is None:
+        return text  # fast path: most prose needs no escaping
     for pat, rep in _ESCAPES:
         text = pat.sub(rep, text)
     return text
@@ -215,8 +198,8 @@ def _clean_attribute(value: str | None) -> str:
 
 
 def _join(a: str, b: str) -> str:
-    s1 = _TRAIL_NL.sub("", a)
-    s2 = _LEAD_NL.sub("", b)
+    s1 = a.rstrip("\n")
+    s2 = b.lstrip("\n")
     nls = min(max(len(a) - len(s1), len(b) - len(s2)), 2)
     return s1 + "\n" * nls + s2
 
@@ -259,6 +242,55 @@ def _last_element_child(node: _El):
 
 
 class _Converter:
+    """Conversion is read-only over the collapsed tree, so per-node
+    text content and void/meaningful-descendant flags are memoized —
+    _is_blank and flanking-whitespace checks would otherwise re-walk
+    every subtree per node (quadratic on deep containers)."""
+
+    def __init__(self) -> None:
+        self._tc: dict[int, str] = {}
+        self._flags: dict[int, tuple[bool, bool]] = {}
+
+    def _text(self, node) -> str:
+        if isinstance(node, _Tx):
+            return node.data
+        key = id(node)
+        got = self._tc.get(key)
+        if got is None:
+            got = "".join(self._text(c) for c in node.children)
+            self._tc[key] = got
+        return got
+
+    def _descendant_flags(self, node: _El) -> tuple[bool, bool]:
+        """(has_void, has_meaningful_when_blank) for node's subtree
+        INCLUDING the node itself."""
+        key = id(node)
+        got = self._flags.get(key)
+        if got is None:
+            v = node.tag in _VOID
+            m = node.tag in _MEANINGFUL_WHEN_BLANK
+            for c in node.children:
+                if isinstance(c, _El) and (not v or not m):
+                    cv, cm = self._descendant_flags(c)
+                    v = v or cv
+                    m = m or cm
+            got = (v, m)
+            self._flags[key] = got
+        return got
+
+    def _is_blank(self, node: _El) -> bool:
+        if node.tag in _VOID or node.tag in _MEANINGFUL_WHEN_BLANK:
+            return False
+        if self._text(node).strip() != "":
+            return False
+        has_void = has_meaningful = False
+        for c in node.children:
+            if isinstance(c, _El):
+                cv, cm = self._descendant_flags(c)
+                has_void = has_void or cv
+                has_meaningful = has_meaningful or cm
+        return not has_void and not has_meaningful
+
     def process(self, el: _El, in_code: bool) -> str:
         out = ""
         for child in el.children:
@@ -271,7 +303,7 @@ class _Converter:
 
     def replacement(self, node: _El, in_code: bool) -> str:
         tag = node.tag
-        if _is_blank(node):
+        if self._is_blank(node):
             # blank rule: pure-whitespace subtrees collapse to a block
             # break (or nothing inline) — this is what keeps empty
             # <p></p> / <div>\n</div> out of the output
@@ -282,7 +314,7 @@ class _Converter:
         # an already-whitespace neighbor suppressed
         leading = trailing = ""
         if tag not in _BLOCK and tag not in _VOID and tag != "pre":
-            txt = _text_content(node)
+            txt = self._text(node)
             if txt.startswith(" "):
                 prev = _prev_sibling(node)
                 flanked = isinstance(prev, _Tx) and prev.data.endswith(" ")
@@ -329,7 +361,7 @@ class _Converter:
             if isinstance(first, _El) and first.tag == "code":
                 # htmd default CodeBlockStyle::Indented (turndown's
                 # default; fenced is opt-in in both)
-                raw = _text_content(first)
+                raw = self._text(first)
                 return "\n\n    " + raw.replace("\n", "\n    ") + "\n\n"
             return f"\n\n{content}\n\n" if content else ""
         if tag == "code":
@@ -394,7 +426,7 @@ class _Converter:
         return prefix + content + tail
 
     def _inline_code(self, node: _El) -> str:
-        content = _text_content(node)
+        content = self._text(node)
         if not content:
             return ""
         content = re.sub(r"\r?\n|\r", " ", content)
