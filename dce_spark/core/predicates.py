@@ -157,6 +157,15 @@ def is_non_content_text(text: str) -> bool:
     return False
 
 
+# Memo for the attrs-dependent part of should_skip_element: attr dicts
+# are interned/shared by htmlparse._attrs_dict, so identical markup hits
+# the same dict object across a whole corpus. Keyed by id() with the
+# dict itself pinned in the value (id reuse is impossible while the key
+# object is referenced); bounded like the upstream intern cache.
+_SKIP_MEMO: dict[int, tuple[dict, bool]] = {}
+_SKIP_MEMO_MAX = 65536
+
+
 def should_skip_element(tag: str, attrs: dict[str, str] | None) -> bool:
     """Subtree-drop predicate (reference src/utils.rs:125-186), exact port.
 
@@ -167,7 +176,17 @@ def should_skip_element(tag: str, attrs: dict[str, str] | None) -> bool:
         return True
     if not attrs:
         return False
+    hit = _SKIP_MEMO.get(id(attrs))
+    if hit is not None and hit[0] is attrs:
+        return hit[1]
+    out = _should_skip_attrs(attrs)
+    if len(_SKIP_MEMO) < _SKIP_MEMO_MAX:
+        _SKIP_MEMO[id(attrs)] = (attrs, out)
+    return out
 
+
+def _should_skip_attrs(attrs: dict[str, str]) -> bool:
+    """The attrs-only portion of the predicate (tag-independent)."""
     if "hidden" in attrs:
         return True
     aria = attrs.get("aria-hidden")

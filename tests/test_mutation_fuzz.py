@@ -97,3 +97,43 @@ def test_formatting_soup_fuzz_totality_and_tokenizer_parity():
             if i:
                 p = d1.parent[i]
                 assert 0 <= p < i and i < d1.subtree_end[p]
+
+
+def test_mutated_pages_markdown_total(pages):
+    """The full markdown path (container walk + filtered serialization
+    + htmd-port reparse/convert) is total over corrupted crawl bytes."""
+    from dce_spark.core.api import extract_page as ep
+
+    rng = random.Random(777)
+    raws = list(pages.values())[:4]
+    for raw in raws:
+        for mutated in _mutations(raw, rng, 12):
+            rec = ep(mutated, mode="all")
+            assert isinstance(rec["extracted_md"], (str, type(None)))
+
+
+def test_htmdport_fuzz_totality():
+    """Raw converter fuzz: random tag soup never raises and always
+    yields a str."""
+    from dce_spark.core.htmdport import convert_to_markdown
+
+    rng = random.Random(31337)
+    tags = ["p", "div", "b", "em", "ul", "li", "ol", "pre", "code", "a",
+            "img", "br", "hr", "table", "tr", "td", "blockquote", "h2",
+            "span", "script"]
+    for _ in range(300):
+        parts = []
+        for _ in range(rng.randrange(1, 40)):
+            t = rng.choice(tags)
+            kind = rng.randrange(4)
+            if kind == 0:
+                parts.append(f"<{t}>")
+            elif kind == 1:
+                parts.append(f"</{t}>")
+            elif kind == 2:
+                parts.append(f"<{t} href='u rl' title='a\"b' start='x'>")
+            else:
+                parts.append(rng.choice(["txt ", " *x* ", "[y]", "` `",
+                                         "1. z\n", "&amp;", "\n\n", "é日"]))
+        out = convert_to_markdown("".join(parts))
+        assert isinstance(out, str)
