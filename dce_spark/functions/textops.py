@@ -351,9 +351,12 @@ def pack_shards(documents: DataFrame, token_budget: int = 4096) -> DataFrame:
 # space. Small enough that the fused projection stays within the JVM's
 # generated-method limits (a per-letter alphabet blew the 64KB cap and
 # pushed Spark into interpreted fallback).
+# each class is a literal character SET (regex ranges expanded), so the
+# per-class count can use translate() — straight codegen'd char-set
+# removal, no regex engine on the hot path
 _ENTROPY_CLASSES = (
     "e", "t", "a", "o", "i", "n", "s", "r",
-    "[b-dfghjkl-mp-qu-z]", "[0-9]", " ",
+    "bcdfghjklmpquvwxyz", "0123456789", " ",
 )
 
 
@@ -366,28 +369,49 @@ def char_entropy(documents: DataFrame) -> DataFrame:
     The fixed, ordered class list makes the floating-point fold
     DETERMINISTIC (same summation order on every engine/partitioning),
     so the value itself is oracle-checkable — unlike an explode+groupBy
-    entropy whose sum order varies. Per-class counts via regex removal;
-    all pure Catalyst, no shuffle."""
-    lowered = F.lower(F.col("text"))
-    total = F.length(lowered).cast("double")
+    entropy whose sum order varies. Per-class counts via translate()
+    char-set removal (codegen, no regex engine); all pure Catalyst, no
+    shuffle.
 
-    def cnt(cls: str):
-        return (
-            F.length(lowered)
-            - F.length(F.regexp_replace(lowered, cls, ""))
-        ).cast("double")
-
-    counts = [cnt(c) for c in _ENTROPY_CLASSES]
+    Staged projections are load-bearing: lowered text, then the class
+    counts, then the entropy arithmetic each materialize as CONCRETE
+    columns. Inlining instead duplicates every count 3-4x inside the
+    entropy terms (and `other` re-inlines all of them), exploding the
+    expression tree past the codegen method limit into interpreted
+    eval with no subexpression reuse — measured ~40x slower.
+    CollapseProject keeps the stages separate because each column is
+    expensive and multiply-referenced."""
+    with_lower = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("_lt"),
+    )
+    cnt_cols = [
+        (
+            F.length("_lt") - F.length(F.translate(F.col("_lt"), cls, ""))
+        ).cast("double").alias(f"_c{i}")
+        for i, cls in enumerate(_ENTROPY_CLASSES)
+    ]
+    with_counts = with_lower.select(
+        "doc_id",
+        F.length("_lt").cast("double").alias("_total"),
+        *cnt_cols,
+    )
+    counts = [F.col(f"_c{i}") for i in range(len(_ENTROPY_CLASSES))]
+    total = F.col("_total")
     other = total - sum(counts[1:], counts[0])
-    terms = counts + [other]
+    with_other = with_counts.select(
+        "doc_id", "_total", *[f"_c{i}" for i in range(len(counts))],
+        other.alias(f"_c{len(counts)}"),
+    )
     log2 = F.log(F.lit(2.0))
     entropy = None
-    for c in terms:  # fixed order: deterministic f64 accumulation
+    for i in range(len(_ENTROPY_CLASSES) + 1):
+        c = F.col(f"_c{i}")
         p = c / total
         term = F.when(c > 0, -p * F.log(p) / log2).otherwise(F.lit(0.0))
         entropy = term if entropy is None else entropy + term
-    return documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    return with_other.select(
+        "doc_id",
         F.when(total > 0, F.round(entropy, 6)).otherwise(F.lit(0.0))
         .alias("char_entropy"),
     )
