@@ -228,10 +228,11 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token fraction and the
     share of the token stream covered by the most frequent 2-gram
     (ties broken by lexicographically smallest bigram, so the mode is
-    deterministic across engines). One explode + one groupBy + one
-    small window over per-doc bigram counts; joins back on doc_id."""
-    from pyspark.sql.window import Window
-
+    deterministic across engines). One explode + one groupBy, then the
+    per-doc mode via min(struct(-cnt, bigram)) — an aggregate with
+    map-side partials instead of a row_number window sort (highest
+    count, then smallest bigram, exactly the window's order); joins
+    back on doc_id."""
     toks = tokens_col()
     n_tok = F.size(toks).cast("long")
     n_dist = F.size(F.array_distinct(toks)).cast("long")
@@ -243,29 +244,41 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         ).alias("dup_token_frac"),
         F.col("text"),
     )
-    bigrams = base.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(tokens_col()) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tokens_col()) - 1),
-                    lambda i: F.concat_ws(" ", F.slice(tokens_col(), i, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram"),
+    # stage the split once: the bigram expression references the token
+    # array three times, and an inlined split(text) would run per use
+    bigrams = (
+        base.select("doc_id", tokens_col().alias("_tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("_tk") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_tk") - 1),
+                        lambda i: F.concat_ws(" ", F.slice("_tk", i, 2)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram"),
+        )
     )
     counts = bigrams.groupBy("doc_id", "bigram").agg(
         F.count("*").cast("long").alias("cnt")
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("cnt").desc(), F.col("bigram").asc()
-    )
     top = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("bigram").alias("top_bigram"),
-                F.col("cnt").alias("top_bigram_cnt"))
+        counts.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"),
+                    F.col("bigram").alias("bigram"),
+                )
+            ).alias("t")
+        )
+        .select(
+            "doc_id",
+            F.col("t.bigram").alias("top_bigram"),
+            (-F.col("t.neg")).cast("long").alias("top_bigram_cnt"),
+        )
     )
     return (
         base.drop("text")
