@@ -518,6 +518,72 @@ def kmv_distinct_sketch(documents: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+def unigram_stats(documents: DataFrame) -> DataFrame:
+    """Corpus-frequency language-model proxy (the CCNet-style idea of
+    scoring documents under a corpus LM, with exact cross-engine math):
+    per document, the mean corpus frequency of its tokens and the
+    hapax fraction (tokens occurring exactly once in the whole source).
+    Fluent in-domain text has high mean frequency / low hapax share;
+    gibberish, encoded blobs, and OOV-heavy text sit at the other end.
+
+    All aggregations are INTEGER (sum of counts, token counts), with a
+    single final division — deterministic on every engine and
+    partitioning, unlike a -log p sum whose f64 order varies. Shape:
+    one explode, one (source, token) vocab count with map-side
+    partials, one co-partitioned join back, one per-doc groupBy. The
+    vocab side is Zipf-small relative to the token stream; AQE
+    broadcasts it at small scale and shuffles both sides on the token
+    key at corpus scale. Total over documents."""
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.explode(tokens_col()).alias("tok"),
+    )
+    vocab = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    per_doc = (
+        toks.join(vocab, ["source", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("_sum_cnt"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("_hapax"),
+        )
+    )
+    return (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .na.fill({"n_tokens": 0, "_sum_cnt": 0, "_hapax": 0})
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("_sum_cnt").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_token_freq"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("_hapax").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hapax_frac"),
+        )
+    )
+
+
 def decontaminate(
     documents: DataFrame, benchmark: DataFrame, k: int = 3
 ) -> DataFrame:

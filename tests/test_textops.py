@@ -521,3 +521,25 @@ def test_pii_redact_counts_and_replacement(spark):
     r2 = out[2]
     assert (r2.n_email, r2.n_ipv4, r2.n_phone) == (0, 0, 0)
     assert r2.redacted_text == "no pii in this text at all"
+
+
+def test_unigram_stats_semantics(spark):
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare1", "en", "s", 26),
+            (2, "common rare2", "en", "s", 12),
+            (3, "", "en", "s", 0),
+        ],
+        cols,
+    )
+    out = {r.doc_id: r for r in textops.unigram_stats(docs).collect()}
+    # corpus counts: common=4, rare1=1, rare2=1 (doc3's "" token counts
+    # once — split('', ' ') yields [''])
+    r1 = out[1]
+    assert r1.n_tokens == 4
+    assert r1.mean_token_freq == pytest.approx((4 + 4 + 4 + 1) / 4)
+    assert r1.hapax_frac == pytest.approx(1 / 4)
+    r2 = out[2]
+    assert r2.mean_token_freq == pytest.approx((4 + 1) / 2)
+    assert 3 in out  # total over input
