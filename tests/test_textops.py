@@ -543,3 +543,34 @@ def test_unigram_stats_semantics(spark):
     r2 = out[2]
     assert r2.mean_token_freq == pytest.approx((4 + 1) / 2)
     assert 3 in out  # total over input
+
+
+def test_curate_corpus_stages_all_bite(spark):
+    """Every curation stage must actually remove its target class:
+    short docs, exact dups, near-dups, contaminated docs; survivors
+    get deterministic shard ids."""
+    from dce_spark.functions.curation import curate_corpus
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    long_a = " ".join(f"alpha{i} beta{i}" for i in range(15))   # 30 toks
+    long_b = " ".join(f"gamma{i} delta{i}" for i in range(15))
+    near_a = long_a.replace("alpha3", "ALPHA3")  # near-dup of long_a
+    bench_text = " ".join(f"bench{i} mark{i}" for i in range(15))
+    rows = [
+        (1, long_a, "en", "s1", len(long_a)),
+        (2, long_a, "en", "s1", len(long_a)),        # exact dup -> drop
+        (3, near_a, "en", "s1", len(near_a)),        # near dup -> drop
+        (4, long_b, "en", "s1", len(long_b)),        # survivor
+        (5, "too short", "en", "s1", 9),             # gate -> drop
+        (6, bench_text, "en", "s1", len(bench_text)),  # contaminated
+    ]
+    docs = spark.createDataFrame(rows, cols)
+    benchmark = spark.createDataFrame(
+        [(99, bench_text, "en", "b", len(bench_text))], cols
+    )
+    out = {r.doc_id: r for r in curate_corpus(
+        docs, benchmark, min_tokens=20, token_budget=40
+    ).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].shard == 0
+    assert out[4].shard == 0  # 30 cum -> (60-30)/40 = 0
