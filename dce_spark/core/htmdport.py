@@ -82,21 +82,27 @@ _ATTR_CLEAN = re.compile(r"(\n+\s*)+")
 
 
 class _El:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "idx", "el_idx",
+                 "last_el")
 
     def __init__(self, tag: str, attrs: dict | None):
         self.tag = tag
         self.attrs = attrs or {}
         self.children: list = []
         self.parent: _El | None = None
+        self.idx = 0
+        self.el_idx = 0
+        self.last_el = None
 
 
 class _Tx:
-    __slots__ = ("data", "parent")
+    __slots__ = ("data", "parent", "idx", "el_idx")
 
     def __init__(self, data: str):
         self.data = data
         self.parent: _El | None = None
+        self.idx = 0
+        self.el_idx = 0
 
 
 def _build_tree(html: str) -> _El:
@@ -204,41 +210,45 @@ def _join(a: str, b: str) -> str:
     return s1 + "\n" * nls + s2
 
 
+def _index_tree(root: _El) -> None:
+    """One pass after whitespace collapse: stamp every node's position
+    in its parent (idx), its ordinal among element siblings (el_idx),
+    and each element's last element child. Sibling lookups during
+    conversion are then O(1) — linear scans per node made wide
+    link-list pages (100k siblings) quadratic."""
+    stack = [root]
+    while stack:
+        el = stack.pop()
+        ei = 0
+        last_el = None
+        for i, c in enumerate(el.children):
+            c.idx = i
+            if isinstance(c, _El):
+                c.el_idx = ei
+                ei += 1
+                last_el = c
+                stack.append(c)
+        el.last_el = last_el
+
+
 def _element_index(node: _El) -> int:
     """Index among the parent's ELEMENT children (turndown uses
     parent.children, the element-only collection)."""
-    i = 0
-    for sib in node.parent.children:
-        if sib is node:
-            return i
-        if isinstance(sib, _El):
-            i += 1
-    return i
+    return node.el_idx
 
 
 def _next_sibling(node) -> object | None:
     sibs = node.parent.children if node.parent else []
-    for j, sib in enumerate(sibs):
-        if sib is node:
-            return sibs[j + 1] if j + 1 < len(sibs) else None
-    return None
+    j = node.idx + 1
+    return sibs[j] if j < len(sibs) else None
 
 
 def _prev_sibling(node) -> object | None:
-    sibs = node.parent.children if node.parent else []
-    prev = None
-    for sib in sibs:
-        if sib is node:
-            return prev
-        prev = sib
-    return None
+    return node.parent.children[node.idx - 1] if node.idx > 0 else None
 
 
 def _last_element_child(node: _El):
-    for c in reversed(node.children):
-        if isinstance(c, _El):
-            return c
-    return None
+    return node.last_el
 
 
 class _Converter:
@@ -292,14 +302,29 @@ class _Converter:
         return not has_void and not has_meaningful
 
     def process(self, el: _El, in_code: bool) -> str:
-        out = ""
+        # linear-time equivalent of folding _join over the children:
+        # chunks accumulate in a list with the trailing-newline count
+        # carried separately (rebuilding the string per child was
+        # O(total^2) on wide sibling lists)
+        parts: list[str] = []
+        trail = 0  # newlines logically at the end of the output so far
         for child in el.children:
             if isinstance(child, _Tx):
                 rep = child.data if in_code else _escape_md(child.data)
             else:
                 rep = self.replacement(child, in_code)
-            out = _join(out, rep)
-        return out
+            s2 = rep.lstrip("\n")
+            lead = len(rep) - len(s2)
+            sep = min(max(trail, lead), 2)
+            if not s2:
+                trail = sep  # empty chunk: newlines stay pending
+                continue
+            if sep:
+                parts.append("\n" * sep)
+            body = s2.rstrip("\n")
+            parts.append(body)
+            trail = len(s2) - len(body)
+        return "".join(parts) + "\n" * trail
 
     def replacement(self, node: _El, in_code: bool) -> str:
         tag = node.tag
@@ -446,6 +471,7 @@ def convert_to_markdown(html: str) -> str:
     """htmd-default conversion of an HTML string to markdown."""
     root = _build_tree(html)
     _collapse_exact(root)
+    _index_tree(root)
     out = _Converter().process(root, in_code=False)
     # turndown postProcess: strip leading newlines/tabs/CRs and ALL
     # trailing whitespace
