@@ -144,10 +144,13 @@ def embedding_dedup(
     Indyk-Motwani amplification). Duplicate cross-table edges are
     deduped before the keeper aggregation.
     """
-    if n_planes is None or n_tables is None:
-        d_planes, d_tables = derive_lsh_params(embeddings.count())
-        n_planes = n_planes if n_planes is not None else d_planes
-        n_tables = n_tables if n_tables is not None else d_tables
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count())
+    if n_tables is None:
+        # derive amplification from the planes actually IN USE: a
+        # caller-pinned long code needs its multi-table recall restore
+        # just as much as a derived one
+        n_tables = tables_for_planes(n_planes)
     with_bucket = _with_table_buckets(embeddings, n_planes, dim, n_tables)
     a = with_bucket.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
@@ -173,9 +176,13 @@ def embedding_dedup(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     nbr_min = sym.groupBy("a").agg(F.min("b").alias("nbr"))
-    ids = with_bucket.select("vec_id").distinct() if n_tables > 1 else (
-        with_bucket.select("vec_id")
-    )
+    # totalization reads the INPUT, not the bucket projection: listing
+    # ids through with_bucket would re-evaluate n_tables*n_planes
+    # hyperplane dot products per vector (plus a distinct shuffle of
+    # the exploded id stream) just to enumerate ids, and its
+    # distinct() would collapse repeated vec_ids only when n_tables>1
+    # (output cardinality changing with a tuning knob)
+    ids = embeddings.select(F.col("vec_id").cast("long").alias("vec_id"))
     total = ids.join(nbr_min, ids.vec_id == nbr_min.a, "left")
     keep = F.least(F.col("vec_id"), F.coalesce(F.col("nbr"), F.col("vec_id")))
     return total.select(
@@ -207,15 +214,26 @@ def derive_n_planes(
     return max(min_planes, min(max_planes, need))
 
 
+def tables_for_planes(n_planes: int) -> int:
+    """Table count that restores the recall a code length costs: one
+    extra table per ~8 planes past 16, capped at 8. Applies whether
+    the plane count was derived OR pinned by the caller — a pinned
+    32-plane code has the same single-table recall cliff as a derived
+    one. <=16 planes is the short-code regime: one table suffices, so
+    every sandbox-scale plan (and pinned oracle) stays single-table."""
+    if n_planes <= 16:
+        return 1
+    return min(1 + ((n_planes - 16) + 7) // 8, 8)
+
+
 def derive_lsh_params(n_candidates: int) -> tuple[int, int]:
     """(n_planes, n_tables) for a corpus size: planes keep expected
     bucket occupancy ~256 (linear candidate generation at any N);
-    tables restore the recall that longer codes cost. L grows one
-    table per ~8 planes past 16 — at sandbox scales this is (6, 1), so
-    every pinned oracle is untouched; at 10^12 it is (32, 3)."""
+    tables restore the recall that longer codes cost. At sandbox
+    scales this is (6, 1), so every pinned oracle is untouched; at
+    10^12 it is (32, 3)."""
     n_planes = derive_n_planes(n_candidates)
-    n_tables = 1 + max(0, (n_planes - 16) + 7) // 8 if n_planes > 16 else 1
-    return n_planes, min(n_tables, 8)
+    return n_planes, tables_for_planes(n_planes)
 
 
 def _with_table_buckets(
@@ -307,10 +325,11 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    if n_planes is None or n_tables is None:
-        d_planes, d_tables = derive_lsh_params(embeddings.count())
-        n_planes = n_planes if n_planes is not None else d_planes
-        n_tables = n_tables if n_tables is not None else d_tables
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count())
+    if n_tables is None:
+        # amplification follows the planes in use, pinned or derived
+        n_tables = tables_for_planes(n_planes)
     with_bucket = _with_table_buckets(embeddings, n_planes, dim, n_tables)
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

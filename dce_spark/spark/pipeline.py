@@ -41,6 +41,33 @@ from dce_spark.spark.udf import attach_extraction
 __all__ = ["salt_partitions", "extract_pages", "run_pipeline", "read_manifest"]
 
 
+def _is_missing_table(exc: Exception) -> bool:
+    """True only for 'the target table does not exist' failures, the
+    one case where falling back to CTAS is correct. V2 catalogs raise
+    NoSuchTableException, the session catalog raises AnalysisException
+    with condition TABLE_OR_VIEW_NOT_FOUND; both are captured-side
+    AnalysisExceptions in PySpark, so match the error condition first
+    and the class names in the message as the fallback."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover
+        AnalysisException = ()
+    if isinstance(exc, AnalysisException):
+        cond = ""
+        for meth in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(exc, meth)() or ""
+                break
+            except Exception:
+                continue
+        if cond in ("TABLE_OR_VIEW_NOT_FOUND", "NO_SUCH_TABLE") or (
+            cond.startswith("TABLE_OR_VIEW_NOT_FOUND")
+        ):
+            return True
+    msg = str(exc)
+    return "NoSuchTable" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg
+
+
 def salt_partitions(df: DataFrame, num_partitions: int, salt_factor: int = 4) -> DataFrame:
     """Explicit skew-defeating exchange: hash-repartition on xxhash64(url)
     into num_partitions * salt_factor slices."""
@@ -217,6 +244,19 @@ def run_pipeline(
     table_sink = sink in ("iceberg", "table")
     if sink == "iceberg":
         table_provider = "iceberg"
+    if table_sink and manifest_path is None:
+        # output_path is a catalog table NAME here, not a filesystem
+        # path; defaulting the manifest root to it would drop lineage
+        # manifests in a cwd-relative directory ("catalog.db.tbl/
+        # _manifest"), making resume silently depend on the driver's
+        # working directory — a rerun from another cwd re-extracts
+        # everything, a rerun from the same cwd against different
+        # input skips everything
+        raise ValueError(
+            "sink='table'/'iceberg' needs an explicit manifest_path "
+            "(a filesystem or object-store URI for the lineage "
+            "manifests); the catalog table name cannot serve as one"
+        )
     manifest_root = manifest_path if manifest_path is not None else output_path
     done = completed_buckets(spark, manifest_root)
     todo = [b for b in range(buckets) if b not in done]
@@ -259,9 +299,15 @@ def run_pipeline(
             # against the session catalog with a parquet-provider table.
             try:
                 extracted.writeTo(output_path).overwritePartitions()
-            except Exception:
-                # first contact: CTAS partitioned by bucket; any real
-                # write fault resurfaces from the create immediately
+            except Exception as exc:
+                if not _is_missing_table(exc):
+                    # a write fault on an EXISTING table (executor
+                    # loss, schema drift, capability error) must
+                    # surface as itself — falling through to CTAS
+                    # would die on TableAlreadyExists and bury the
+                    # root cause
+                    raise
+                # first contact: CTAS partitioned by bucket
                 (
                     extracted.writeTo(output_path)
                     .using(table_provider)

@@ -64,7 +64,7 @@ def main(argv: list[str]) -> int:
             raw = zf.read(name)
             kb = len(raw) // 1024
             print(f"\n===== {name} ({kb} KB) =====")
-            if markdown_mode or assert_leaks:
+            if markdown_mode:
                 out = extract_page(raw, mode="markdown")["extracted_md"] or ""
             elif article_mode:
                 out = get_article(raw)
@@ -72,8 +72,14 @@ def main(argv: list[str]) -> int:
                 out = get_content(raw)
             print(out)
             if assert_leaks:
+                # the leak scan always reads the markdown rendering
+                # (attribute junk leaks there), independent of which
+                # output the user asked to SEE
+                md = out if markdown_mode else (
+                    extract_page(raw, mode="markdown")["extracted_md"] or ""
+                )
                 for pat in FORBIDDEN:
-                    if pat in out:
+                    if pat in md:
                         leaks.append((name, pat))
 
     if leaks:

@@ -167,7 +167,7 @@ def test_iceberg_sink_commit_contract(spark, pages_path, tmp_path_factory,
     # run half the commits, "crash", then resume
     r1 = run_pipeline(
         spark, pages_path, out, buckets=4, buckets_per_commit=2,
-        max_commits=1, sink="iceberg",
+        max_commits=1, sink="iceberg", manifest_path=out,
     )
     assert r1["committed"] == 1 and r1["remaining"] > 0
     # first chunk: overwrite attempt failed (no table), then create
@@ -175,7 +175,7 @@ def test_iceberg_sink_commit_contract(spark, pages_path, tmp_path_factory,
 
     r2 = run_pipeline(
         spark, pages_path, out, buckets=4, buckets_per_commit=2,
-        sink="iceberg",
+        sink="iceberg", manifest_path=out,
     )
     assert r2["resumed_from"] == 2 and r2["remaining"] == 0
     # second chunk appended via a snapshot overwrite, not a re-create
@@ -265,3 +265,74 @@ def test_iceberg_branch_executes_v2_catalog(tmp_path_factory):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "MEMCAT_OK" in r.stdout
+
+
+def test_table_sink_requires_manifest_path(spark, pages_path):
+    # a catalog table name is not a filesystem path: defaulting the
+    # manifest root to it would pin resume to the driver's cwd
+    with pytest.raises(ValueError, match="manifest_path"):
+        run_pipeline(spark, pages_path, "cat.db.extracted",
+                     sink="iceberg")
+
+
+def test_table_sink_surfaces_real_write_faults(spark, pages_path,
+                                               tmp_path_factory,
+                                               monkeypatch):
+    """A failure that is NOT 'table does not exist' must re-raise from
+    overwritePartitions, never be retried as CTAS (which would die on
+    TableAlreadyExists and bury the root cause)."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover
+        from pyspark.sql import DataFrame as _DF
+
+    created = []
+
+    class FaultyWriter:
+        def __init__(self, df, table):
+            pass
+
+        def overwritePartitions(self):
+            raise RuntimeError("executor lost mid-write")
+
+        def using(self, fmt):
+            created.append("using")
+            return self
+
+        def partitionedBy(self, col):
+            return self
+
+        def create(self):
+            created.append("create")
+
+    monkeypatch.setattr(
+        _DF, "writeTo",
+        lambda self, table: FaultyWriter(self, table), raising=True,
+    )
+    out = str(tmp_path_factory.mktemp("fault") / "meta")
+    with pytest.raises(RuntimeError, match="executor lost"):
+        run_pipeline(spark, pages_path, out, buckets=4,
+                     buckets_per_commit=4, sink="iceberg",
+                     manifest_path=out)
+    assert created == []  # no CTAS fallback on a non-missing-table fault
+
+
+def test_is_missing_table_classifier():
+    from dce_spark.spark.pipeline import _is_missing_table
+
+    assert _is_missing_table(RuntimeError("NoSuchTableException: t"))
+    assert _is_missing_table(
+        Exception("[TABLE_OR_VIEW_NOT_FOUND] The table `t` cannot be found")
+    )
+    assert not _is_missing_table(RuntimeError("executor lost"))
+    assert not _is_missing_table(Exception("schema mismatch for column x"))
+    from pyspark.errors import AnalysisException
+
+    # JVM-captured exceptions carry the condition in the message text;
+    # the Python constructor can't mint JVM error classes directly
+    assert _is_missing_table(
+        AnalysisException("[TABLE_OR_VIEW_NOT_FOUND] cannot be found")
+    )
+    assert not _is_missing_table(
+        AnalysisException("[INCOMPATIBLE_DATA_FOR_TABLE] bad schema")
+    )

@@ -222,6 +222,41 @@ def test_lsh_multiprobe_recall_vs_brute_force(spark):
     assert derive_lsh_params(500) == (6, 1)  # sandbox: oracle-pinned
     assert derive_lsh_params(10**9) == (22, 2)
     assert derive_lsh_params(10**12) == (32, 3)
+    # amplification tracks the planes IN USE, pinned or derived
+    from dce_spark.functions.simsearch import tables_for_planes
+
+    assert tables_for_planes(6) == 1
+    assert tables_for_planes(16) == 1
+    assert tables_for_planes(32) == 3
+    assert tables_for_planes(48) == 5
+
+
+def test_pinned_planes_still_get_multitable_amplification(spark):
+    """n_planes pinned + n_tables=None must derive the table count
+    from the PINNED plane count (a caller-pinned 20-plane code has the
+    same single-table recall cliff as a derived one), and output
+    cardinality must equal the input row count regardless of
+    n_tables (repeated vec_ids are preserved, not collapsed)."""
+    import numpy as np
+
+    from dce_spark.functions.simsearch import embedding_dedup
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(size=16)])
+            for i in range(40)]
+    rows.append(rows[5])  # repeated vec_id
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    auto = embedding_dedup(emb, threshold=0.99, n_planes=20, dim=16)
+    explicit = embedding_dedup(
+        emb, threshold=0.99, n_planes=20, dim=16,
+        n_tables=2,  # tables_for_planes(20)
+    )
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, explicit.collect()))
+    assert a == b  # the derived table count matched the pinned planes
+    assert len(a) == 41  # total over INPUT rows, duplicate id intact
+    single = embedding_dedup(emb, threshold=0.99, n_planes=4, dim=16)
+    assert single.count() == 41  # same cardinality rule at n_tables=1
 
 
 def test_lsh_multitable_recall_and_oracle_stability(spark):
