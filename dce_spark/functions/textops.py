@@ -922,3 +922,117 @@ def simhash64(documents: DataFrame) -> DataFrame:
     return agg.select(
         F.col("doc_id").cast("long").alias("doc_id"), expr.alias("simhash")
     )
+
+
+def label_components(
+    membership: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Connected components of a bipartite membership graph
+    (``id`` <-> ``grp``): returns (id, component) where component is
+    the smallest id in the id's connected component (two ids are
+    connected when they share a grp, transitively).
+
+    Min-label propagation in its alternating-aggregation form (the
+    MapReduce-CC family of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): each round a grp takes the min
+    label of its members (groupBy grp) and an id takes the min over
+    its grps (groupBy id), then one pointer-jumping hop
+    (lbl <- lbl[lbl], a self-join on the label) halves remaining
+    chain depth, giving O(log diameter) rounds instead of
+    O(diameter). Every round is a fixed number of key-partitioned
+    shuffles; labels monotonically decrease, so the fixed point — all
+    members of a grp share one label, every label is a root — is the
+    exact component minimum. The loop localCheckpoints each round: an
+    iterative plan otherwise grows multiplicatively and re-executes
+    from the scan every round (on a cluster, set a reliable
+    checkpoint dir and use checkpoint() for executor-loss safety).
+
+    Termination is by convergence (zero labels changed, one scalar
+    count per round) with ``max_iter`` as the adversarial-diameter
+    backstop; 30 doubling rounds cover any component a shuffle can
+    hold.
+    """
+    memb = membership.select(
+        F.col(membership.columns[0]).cast("long").alias("id"),
+        F.col(membership.columns[1]).alias("grp"),
+    ).distinct()
+    memb = memb.localCheckpoint(eager=True)
+    labels = memb.select("id").distinct().select(
+        "id", F.col("id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        grp_min = (
+            memb.join(labels, "id")
+            .groupBy("grp")
+            .agg(F.min("lbl").alias("grp_lbl"))
+        )
+        via_grp = (
+            memb.join(grp_min, "grp")
+            .groupBy("id")
+            .agg(F.min("grp_lbl").alias("new_lbl"))
+        )
+        stepped = labels.join(via_grp, "id", "left").select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("new_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer jumping: follow the label one hop (labels always
+        # reference ids, min includes self, so the hop stays inside
+        # the component and is monotone)
+        roots = stepped.select(
+            F.col("id").alias("r_id"), F.col("lbl").alias("r_lbl")
+        )
+        jumped = (
+            stepped.join(roots, stepped.lbl == roots.r_id, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("r_lbl"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .filter(F.col("lbl") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def minhash_dedup_cc(
+    documents: DataFrame, n_seeds: int = 8, k: int = 3
+) -> DataFrame:
+    """Transitive-closure dedup decision: cluster_id is the smallest
+    doc_id in the doc's CONNECTED COMPONENT of the band-sharing graph.
+
+    minhash_dedup's single-pass rule is intentionally one shuffle
+    deep; on a chain A~B~C (A shares a band with B, B with C, A NOT
+    with C) it can emit keep(C)=B while B itself is dropped for A — a
+    consumer keeping only is_kept rows then drops B AND C but keeps a
+    near-dup pair (A, C-cluster) split across keepers. This operator
+    closes the relation: every chained group collapses to one
+    canonical doc. Costs O(log diameter) shuffle rounds via
+    label_components; run it on the dup-dense slice at 10^12 scale,
+    the one-pass decision everywhere else.
+
+    Total over the input: shingle-less docs are their own clusters.
+    """
+    bands = minhash_bands(documents, n_seeds, k)
+    memb = bands.select("doc_id", F.col("band_a").alias("band")).unionByName(
+        bands.select("doc_id", F.col("band_b").alias("band"))
+    )
+    comp = label_components(memb)
+    all_docs = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    total = all_docs.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return total.select(
+        "doc_id",
+        cluster.cast("long").alias("cluster_id"),
+        (F.col("doc_id") == cluster).alias("is_canonical"),
+    )

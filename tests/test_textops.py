@@ -609,3 +609,58 @@ def test_curate_corpus_stages_all_bite(spark):
     assert set(out) == {1, 4}
     assert out[1].shard == 0
     assert out[4].shard == 0  # 30 cum -> (60-30)/40 = 0
+
+
+def test_label_components_chain_and_isolates(spark):
+    from dce_spark.functions.textops import label_components
+
+    memb = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (2, "y"), (3, "y"), (3, "z"), (4, "z"),
+         (9, "w"), (9, "w")],  # duplicate membership rows tolerated
+        ["id", "grp"],
+    )
+    out = {r.id: r.component for r in label_components(memb).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+    # a longer chain exercises >1 propagation round (pointer jumping)
+    # group g_j links ids j and j+1: a 20-id path graph
+    chain = spark.createDataFrame(
+        [(i, f"g{j}") for i in range(20) for j in (i - 1, i)
+         if 0 <= j < 19],
+        ["id", "grp"],
+    )
+    got = {r.id: r.component for r in label_components(chain).collect()}
+    assert got == {i: 0 for i in range(20)}
+
+
+def test_minhash_dedup_cc_closes_chains(spark):
+    """Transitive closure vs the single-pass keeper rule: on a chained
+    component the one-pass decision can point a doc at a keeper that
+    is itself dropped; CC must name one canonical doc for the whole
+    chain and be total over the input."""
+    from dce_spark.functions.textops import label_components, minhash_dedup_cc
+
+    # engineered chain at the membership level
+    memb = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (11, "b"), (12, "b")], ["id", "grp"])
+    comp = {r.id: r.component for r in label_components(memb).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10}
+
+    # end-to-end over texts: identical docs cluster, distinct ones
+    # don't, shingle-less docs are their own canonical rows
+    rows = [
+        (0, "a", "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "a", "alpha beta gamma delta epsilon zeta eta theta"),
+        (5, "a", "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "a", "completely different content with other words"),
+        (3, "a", "xy"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    cc = {r.doc_id: (r.cluster_id, r.is_canonical)
+          for r in minhash_dedup_cc(docs).collect()}
+    assert cc == {0: (0, True), 1: (0, False), 5: (0, False),
+                  2: (2, True), 3: (3, True)}
+    # exactly one canonical doc per cluster
+    clusters = {}
+    for doc, (cl, canon) in cc.items():
+        clusters.setdefault(cl, []).append(canon)
+    assert all(sum(v) == 1 for v in clusters.values())
