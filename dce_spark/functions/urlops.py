@@ -1,0 +1,98 @@
+"""URL canonicalization for web-corpus curation.
+
+Crawl dedup starts at the URL: the same page is fetched as
+``HTTP://Example.COM:80/a?utm_source=feed#top`` and
+``http://example.com/a`` — exact text dedup never sees them as one
+document until the key is canonical. ``url_normalize_col`` is a pure
+Catalyst expression chain (regexp_extract / regexp_replace / lambda
+array-filter — whole-stage codegen, no Python, no UDF), so at crawl
+scale it runs inside the scan projection and the groupBy key it feeds
+is computed map-side.
+
+Normalization rules (the conservative, loss-free subset every
+canonicalizer agrees on):
+  * drop the fragment (``#...`` never reaches the server)
+  * lowercase the scheme and host (case-insensitive per RFC 3986)
+  * drop default ports (``:80`` for http, ``:443`` for https)
+  * drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``,
+    ``msclkid``, ``ref``) — preserving the order of the rest, since
+    servers may be order-sensitive (param SORTING is deliberately not
+    done)
+  * collapse a bare root path: ``http://x.com/`` == ``http://x.com``
+
+Every step sticks to the Spark/DuckDB common SQL subset (no regex
+backreferences — the replacement syntax differs between engines
+($1 vs \\1); no LIKE with ``_`` wildcards; regexp with empty
+replacement, substr on literals, array lambdas only), so the DuckDB
+oracle in __spark_entry__ evaluates the very same algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# query params that identify a campaign, not a resource
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=", "ref=")
+
+_HEAD_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*"
+
+
+def _is_tracking(param: Column) -> Column:
+    cond = F.lit(False)
+    for p in _TRACKING_PREFIXES:
+        cond = cond | (F.substring(param, 1, len(p)) == F.lit(p))
+    return cond
+
+
+def url_normalize_col(url: Column) -> Column:
+    """Canonical form of a URL column (see module docstring for the
+    rule set). URLs without a ``scheme://host`` prefix pass through
+    with only fragment/tracking-param cleanup."""
+    no_frag = F.regexp_replace(url, "#.*", "")
+    head = F.lower(F.regexp_extract(no_frag, _HEAD_RE, 0))
+    tail = F.regexp_replace(no_frag, _HEAD_RE, "")
+    head = (
+        F.when(
+            head.startswith("http://") & head.endswith(":80"),
+            F.substring(head, F.lit(1), F.length(head) - 3),
+        )
+        .when(
+            head.startswith("https://") & head.endswith(":443"),
+            F.substring(head, F.lit(1), F.length(head) - 4),
+        )
+        .otherwise(head)
+    )
+    path = F.regexp_extract(tail, "^[^?]*", 0)
+    query = F.regexp_replace(tail, "^[^?]*[?]?", "")
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~_is_tracking(p),
+    )
+    query = F.array_join(kept, "&")
+    path = F.when(
+        (path == F.lit("/")) & (query == F.lit("")), F.lit("")
+    ).otherwise(path)
+    return F.concat(
+        head,
+        path,
+        F.when(query == F.lit(""), F.lit("")).otherwise(
+            F.concat(F.lit("?"), query)
+        ),
+    )
+
+
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """df plus a ``url_norm`` column."""
+    return df.withColumn("url_norm", url_normalize_col(F.col(url_col)))
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str = "url") -> DataFrame:
+    """URL-level dedup decision: one hash-shuffle on the canonical URL
+    (the key is computed map-side in the scan projection), keeping the
+    smallest id per canonical URL. Returns
+    (url_norm, keep_id, dup_count)."""
+    norm = url_normalize(df, url_col)
+    return norm.groupBy("url_norm").agg(
+        F.min(F.col(id_col)).cast("long").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )

@@ -1,0 +1,67 @@
+"""URL canonicalization: rule-table tests + plan shape."""
+
+import pytest
+
+from dce_spark.functions.urlops import url_dedup, url_normalize
+
+pytestmark = pytest.mark.spark
+
+CASES = [
+    # case noise + default port + tracking params + fragment
+    ("HTTP://WWW.Example.COM:80/a/b?utm_source=feed&id=7&fbclid=xyz#frag",
+     "http://www.example.com/a/b?id=7"),
+    ("https://Example.com:443/x", "https://example.com/x"),
+    # root slash and no-slash collapse to one key
+    ("HTTPS://EXAMPLE.com/", "https://example.com"),
+    ("https://example.com", "https://example.com"),
+    # param ORDER of survivors is preserved (no sorting)
+    ("http://Site.org/p?gclid=1&q=2&ref=rss", "http://site.org/p?q=2"),
+    ("http://a.com/p?b=2&a=1", "http://a.com/p?b=2&a=1"),
+    # non-default port survives; tracking still stripped
+    ("http://a.com:8080/x?utm_campaign=1", "http://a.com:8080/x"),
+    # :80 is only a default for http, :443 only for https
+    ("ftp://Host.Net:80/f", "ftp://host.net:80/f"),
+    ("http://a.com:443/f", "http://a.com:443/f"),
+    # scheme-less input: fragment/param cleanup only
+    ("relative/path?utm_source=x&k=v#z", "relative/path?k=v"),
+    # query that empties out drops its '?'; root path then collapses
+    ("http://a.com/?utm_source=o", "http://a.com"),
+    # directory trailing slash on a NON-root path is kept
+    ("http://a.com/dir/?x=1", "http://a.com/dir/?x=1"),
+    # empty params are dropped
+    ("http://a.com/a?&&k=v", "http://a.com/a?k=v"),
+    # utm prefix must match exactly 'utm_', not 'utmX'
+    ("http://a.com/a?utmx=1", "http://a.com/a?utmx=1"),
+]
+
+
+def test_url_normalize_rule_table(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], ["id", "url"]
+    )
+    got = {r.id: r.url_norm for r in url_normalize(df).collect()}
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dedup_collapses_equivalent_urls(spark):
+    rows = [
+        (3, "HTTPS://EXAMPLE.com/"),
+        (7, "https://example.com"),
+        (9, "https://example.com:443/?utm_source=x"),
+        (5, "https://other.com/p"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = {r.url_norm: (r.keep_id, r.dup_count)
+           for r in url_dedup(df, "id").collect()}
+    assert out["https://example.com"] == (3, 3)
+    assert out["https://other.com/p"] == (5, 1)
+
+
+def test_url_normalize_plan_is_single_codegen_projection(spark):
+    """The chain must stay a pure projection: no exchange, no Python
+    eval — at crawl scale it runs inside the scan stage."""
+    df = spark.createDataFrame([(1, "http://a.com/x")], ["id", "url"])
+    plan = url_normalize(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
