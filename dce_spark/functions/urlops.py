@@ -96,3 +96,30 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str = "url") -> DataFrame:
         F.min(F.col(id_col)).cast("long").alias("keep_id"),
         F.count(F.lit(1)).alias("dup_count"),
     )
+
+
+_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]*)"
+
+
+def url_host_col(url: Column) -> Column:
+    """Lowercased host of an absolute URL ('' for scheme-less input);
+    the port is not part of the host. Group-indexed regexp_extract —
+    identical semantics in Spark and DuckDB (group CAPTURE indices are
+    dialect-stable; only REPLACEMENT backreferences differ)."""
+    return F.regexp_extract(F.lower(url), _HOST_RE, 1)
+
+
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain corpus stats: (host, n_urls, n_canonical). The
+    n_urls/n_canonical gap is the crawl-dup pressure of a domain —
+    link-farm and mirror hosts show many URLs collapsing onto few
+    canonical keys, a standard domain-level filter signal. One
+    hash-shuffle on host; both keys are computed map-side in the scan
+    projection."""
+    norm = url_normalize(df, url_col).withColumn(
+        "host", url_host_col(F.col(url_col))
+    )
+    return norm.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url_norm").alias("n_canonical"),
+    )

@@ -49,6 +49,7 @@ def stream_dedup_extract(
     mode: str = "both",
     watermark: str = "10 minutes",
     max_files_per_trigger: int = 16,
+    canonical_urls: bool = False,
 ):
     """Streaming extraction with in-flight url dedup.
 
@@ -59,6 +60,13 @@ def stream_dedup_extract(
     watermark window is dropped and state older than it is evicted —
     the standard bounded-state streaming dedup (an unbounded
     dropDuplicates would grow state forever at crawl scale).
+
+    ``canonical_urls=True`` dedups on the CANONICAL url
+    (urlops.url_normalize_col: case/port/tracking-param/fragment
+    noise collapsed), so ``...?utm_source=feed`` retries of an
+    already-seen page are dropped too; the emitted rows keep the
+    original url. The key is a stateless projection, so it adds no
+    state beyond the narrower key space.
     """
     pages = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -74,8 +82,17 @@ def stream_dedup_extract(
     pages = pages.withColumn(
         "warc_ts", F.coalesce("warc_ts", F.current_timestamp())
     )
+    if canonical_urls:
+        from dce_spark.functions.urlops import url_normalize_col
+
+        pages = pages.withColumn("url_key", url_normalize_col(F.col("url")))
+        key = "url_key"
+    else:
+        key = "url"
     deduped = pages.withWatermark("warc_ts", watermark)\
-        .dropDuplicatesWithinWatermark(["url"])
+        .dropDuplicatesWithinWatermark([key])
+    if canonical_urls:
+        deduped = deduped.drop("url_key")
     extracted = attach_extraction(deduped, mode=mode)
     return (
         extracted.writeStream.format("parquet")

@@ -89,3 +89,40 @@ def test_stream_dedup_drops_repeated_urls(spark, tmp_path):
         "https://a.test/2",
         "https://a.test/3-no-date",
     ]
+
+
+def test_stream_dedup_canonical_urls(spark, tmp_path):
+    """canonical_urls=True drops tracking-param/case variants of an
+    already-seen url while keeping the ORIGINAL url in the output."""
+    import datetime as dt
+
+    from dce_spark.spark.schema import PAGES_SCHEMA
+    from dce_spark.streaming.stream import stream_dedup_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    ts = dt.datetime(2025, 6, 1, 12, 0, 0)
+    html = b"<html><body><p>Canonical stream dedup body.</p></body></html>"
+    rows = [
+        ("https://a.test/p?utm_source=feed", ts, html, None, "en"),
+        ("HTTPS://A.test/p#top", ts, html, None, "en"),   # same canonical
+        ("https://a.test/p?x=1", ts, html, None, "en"),   # different
+    ]
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(in_dir)
+    q = stream_dedup_extract(
+        spark, in_dir, out_dir, ck_dir, canonical_urls=True
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    urls = sorted(r.url for r in out.select("url").collect())
+    assert len(urls) == 2
+    assert "https://a.test/p?x=1" in urls
+    # exactly one of the two canonical-equal variants survived, and the
+    # synthetic url_key never leaks into the output schema
+    assert "url_key" not in out.columns
+    assert any(u in urls for u in
+               ("https://a.test/p?utm_source=feed", "HTTPS://A.test/p#top"))

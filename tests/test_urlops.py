@@ -65,3 +65,21 @@ def test_url_normalize_plan_is_single_codegen_projection(spark):
     plan = url_normalize(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_host_stats_counts_canonical_pressure(spark):
+    from dce_spark.functions.urlops import host_stats
+
+    rows = [
+        (1, "HTTP://Farm.com:80/a?utm_source=1"),
+        (2, "http://farm.com/a"),           # same canonical as 1
+        (3, "http://farm.com/b"),
+        (4, "https://solo.net/x"),
+        (5, "no-scheme/path"),               # host '' bucket
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = {r.host: (r.n_urls, r.n_canonical)
+           for r in host_stats(df).collect()}
+    assert out["farm.com"] == (3, 2)  # dup pressure: 3 urls, 2 canonical
+    assert out["solo.net"] == (1, 1)
+    assert out[""] == (1, 1)
