@@ -1036,3 +1036,58 @@ def minhash_dedup_cc(
         cluster.cast("long").alias("cluster_id"),
         (F.col("doc_id") == cluster).alias("is_canonical"),
     )
+
+
+def line_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level line deduplication (the CCNet-style pass: crawl
+    boilerplate — cookie banners, nav rows, footers — repeats across
+    MILLIONS of pages, so dedup below document granularity is what
+    actually removes it). A line survives only at its FIRST corpus
+    occurrence, ordered by (doc_id, position); every later copy in any
+    document is dropped, and documents are reassembled from their
+    surviving lines in order.
+
+    Plan shape: posexplode -> one groupBy(line) with a min(struct)
+    partial aggregate (the first-owner table; map-side combine eats
+    the heavy hitters, so a banner line occurring 10^8 times ships one
+    row per map task, not 10^8 shuffle rows) -> equi-join back on line
+    -> one groupBy(doc_id) reassembly with sort_array (no window, no
+    per-doc ordering shuffle beyond the agg itself). Total over the
+    input: a document whose every line is owned elsewhere comes back
+    with text_dedup = ''.
+    """
+    lines = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    first_owner = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = (
+        lines.join(first_owner, "line")
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )

@@ -664,3 +664,28 @@ def test_minhash_dedup_cc_closes_chains(spark):
     for doc, (cl, canon) in cc.items():
         clusters.setdefault(cl, []).append(canon)
     assert all(sum(v) == 1 for v in clusters.values())
+
+
+def test_line_dedup_first_owner_semantics(spark):
+    """A line survives only at its first (doc_id, pos) corpus
+    occurrence; docs reassemble in order; totality over line-less
+    survivors."""
+    rows = [
+        (1, "banner\nunique one\nfooter"),
+        (2, "banner\nunique two\nfooter"),   # loses banner+footer
+        (3, "banner\nbanner\nfooter"),       # loses everything
+        (4, "alone"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textops.line_dedup(docs).collect()}
+    assert out[1].text_dedup == "banner\nunique one\nfooter"
+    assert out[1].n_kept == 3 and out[1].n_lines == 3
+    assert out[2].text_dedup == "unique two"
+    assert out[2].n_kept == 1 and out[2].n_lines == 3
+    assert out[3].text_dedup == "" and out[3].n_kept == 0
+    assert out[4].text_dedup == "alone" and out[4].n_kept == 1
+    # repeated line within ONE doc also dedups (doc 3's second banner
+    # would have been dropped even if doc 3 owned the line)
+    solo = spark.createDataFrame([(7, "x\nx\ny")], ["doc_id", "text"])
+    r = textops.line_dedup(solo).collect()[0]
+    assert r.text_dedup == "x\ny" and r.n_kept == 2 and r.n_lines == 3
