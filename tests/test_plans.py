@@ -126,3 +126,28 @@ def test_decontaminate_broadcast_and_pii_projection(spark):
     plan2 = _plan(e.queries()["doc_pii_redact"](spark, SF))
     assert plan2.count("Exchange") == 0  # pure projection, shuffle-free
     assert "Python" not in plan2
+
+
+def test_line_dedup_partial_first_owner_agg(spark):
+    """The first-owner table must form with a map-side partial
+    min(struct) — that partial is what collapses a 10^8-occurrence
+    banner line before the shuffle — and the whole path stays JVM-side
+    (no Python, no window)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_line_dedup"](spark, SF))
+    assert "partial_min" in plan
+    assert "Python" not in plan
+    assert "Window" not in plan
+
+
+def test_url_ops_plans(spark):
+    """url_dedup / host_stats: canonical keys are computed in the
+    projection before their single hash-aggregation; no Python."""
+    import __spark_entry__ as e
+
+    for q in ("doc_url_dedup", "doc_host_stats"):
+        plan = _plan(e.queries()[q](spark, SF))
+        assert "Python" not in plan, q
+        assert "HashAggregate" in plan, q
+        assert "SortMergeJoin" not in plan, q
