@@ -1091,3 +1091,55 @@ def line_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.col("n_lines").cast("long").alias("n_lines"),
     )
+
+
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Data mixing: draw a per-source token budget
+    (``weight * total_tokens``) from each corpus — the pretraining
+    step that turns N heterogeneous corpora into one mixture with
+    chosen proportions. Within a source, documents are taken in a
+    reproducible SHUFFLED order (md5(salt:doc_id) — prefix-by-doc_id
+    would bias the sample toward whatever the upstream writer emitted
+    first) until the running token count crosses the budget; the
+    boundary document is included, so every non-empty source meets
+    its budget. Sources without a weight contribute nothing.
+
+    Same scale shape as pack_shards: the cumulative sum is partitioned
+    by source, so no global-order window funnels 10^12 rows through
+    one task; determinism is total because (md5 key, doc_id) is a
+    total order and the hash is engine-independent.
+    """
+    from pyspark.sql.window import Window
+
+    budget = None
+    for src, wt in sorted(weights.items()):
+        clause = F.when if budget is None else budget.when
+        budget = clause(
+            F.col("source") == src,
+            F.lit(int(wt * total_tokens)).cast("long"),
+        )
+    budget = (
+        budget.otherwise(F.lit(0).cast("long"))
+        if budget is not None
+        else F.lit(0).cast("long")
+    )
+    w = Window.partitionBy("source").orderBy("mix_key", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = documents.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(":", F.lit(salt), F.col("doc_id"))
+        ).alias("mix_key"),
+        budget.alias("budget"),
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return with_cum.filter(
+        F.col("cum") - F.col("n_tokens") < F.col("budget")
+    ).select("source", "doc_id", "n_tokens")

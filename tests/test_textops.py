@@ -689,3 +689,39 @@ def test_line_dedup_first_owner_semantics(spark):
     solo = spark.createDataFrame([(7, "x\nx\ny")], ["doc_id", "text"])
     r = textops.line_dedup(solo).collect()[0]
     assert r.text_dedup == "x\ny" and r.n_kept == 2 and r.n_lines == 3
+
+
+def test_mixture_sample_budgets_and_shuffle_order(spark):
+    rows = [
+        (i, " ".join(["w"] * 10), "en", f"s{i % 2}", 20) for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    # s0 and s1 each hold 100 tokens; 50/50 split of 60 tokens
+    out = textops.mixture_sample(
+        docs, {"s0": 0.5, "s1": 0.5}, total_tokens=60
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # 30-token budget over 10-token docs: exactly 3 docs per source
+    assert {s: len(v) for s, v in by_src.items()} == {"s0": 3, "s1": 3}
+    # the taken set is a md5-shuffle prefix, not a doc_id prefix
+    taken = sorted(r.doc_id for r in out)
+    assert taken != [0, 1, 2, 3, 4, 5]
+    # reproducible across runs
+    again = sorted(
+        r.doc_id
+        for r in textops.mixture_sample(
+            docs, {"s0": 0.5, "s1": 0.5}, total_tokens=60
+        ).collect()
+    )
+    assert again == taken
+    # boundary doc included: budget 25 still yields 3 docs (20 < 25)
+    out25 = textops.mixture_sample(
+        docs, {"s0": 0.5}, total_tokens=50
+    ).collect()
+    assert len(out25) == 3 and all(r.source == "s0" for r in out25)
+    # unweighted sources contribute nothing
+    assert not [r for r in out25 if r.source == "s1"]
