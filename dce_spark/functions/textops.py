@@ -1045,7 +1045,9 @@ def line_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     actually removes it). A line survives only at its FIRST corpus
     occurrence, ordered by (doc_id, position); every later copy in any
     document is dropped, and documents are reassembled from their
-    surviving lines in order.
+    surviving lines in order. Blank (whitespace-only) lines are exempt
+    — they are paragraph STRUCTURE, not repeatable content, and always
+    survive in place.
 
     Plan shape: posexplode -> one groupBy(line) with a min(struct)
     partial aggregate (the first-owner table; map-side combine eats
@@ -1060,16 +1062,22 @@ def line_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    first_owner = lines.groupBy("line").agg(
+    # blank lines are STRUCTURE (paragraph boundaries), not content —
+    # deduping them would merge paragraphs corpus-wide after the first
+    # document; they bypass the first-owner pass entirely
+    blank = F.trim(F.col("line")) == F.lit("")
+    content = lines.filter(~blank)
+    first_owner = content.groupBy("line").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
     kept = (
-        lines.join(first_owner, "line")
+        content.join(first_owner, "line")
         .filter(
             (F.col("doc_id") == F.col("first.doc_id"))
             & (F.col("pos") == F.col("first.pos"))
         )
         .select("doc_id", "pos", "line")
+        .unionByName(lines.filter(blank).select("doc_id", "pos", "line"))
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
@@ -1121,7 +1129,10 @@ def mixture_sample(
         clause = F.when if budget is None else budget.when
         budget = clause(
             F.col("source") == src,
-            F.lit(int(wt * total_tokens)).cast("long"),
+            # round, don't truncate: 0.7*350 is 244.9999... in
+            # binary floating point; int() would lose the boundary
+            # document the stated weight*total contract includes
+            F.lit(int(round(wt * total_tokens))).cast("long"),
         )
     budget = (
         budget.otherwise(F.lit(0).cast("long"))

@@ -15,9 +15,9 @@ canonicalizer agrees on):
   * lowercase the scheme and host (case-insensitive per RFC 3986)
   * drop default ports (``:80`` for http, ``:443`` for https)
   * drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``,
-    ``msclkid``, ``ref``) — preserving the order of the rest, since
-    servers may be order-sensitive (param SORTING is deliberately not
-    done)
+    ``msclkid``) — preserving the order of the rest, since servers
+    may be order-sensitive (param SORTING is deliberately not done;
+    ``ref`` is deliberately NOT stripped — see _TRACKING_PREFIXES)
   * collapse a bare root path: ``http://x.com/`` == ``http://x.com``
 
 Every step sticks to the Spark/DuckDB common SQL subset (no regex
@@ -31,10 +31,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# query params that identify a campaign, not a resource
-_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=", "ref=")
+# query params that identify a campaign, not a resource. 'ref=' is
+# deliberately NOT here: despite its referral use on some sites, it
+# widely names real resources (git refs, pagination cursors, API
+# version selectors) — stripping it would merge distinct documents,
+# and with streaming canonical dedup that is permanent data loss, not
+# a mis-count
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=")
 
 _HEAD_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*"
+_SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+_USERINFO_RE = "^[^/@]*@"
 
 
 def _is_tracking(param: Column) -> Column:
@@ -47,21 +54,28 @@ def _is_tracking(param: Column) -> Column:
 def url_normalize_col(url: Column) -> Column:
     """Canonical form of a URL column (see module docstring for the
     rule set). URLs without a ``scheme://host`` prefix pass through
-    with only fragment/tracking-param cleanup."""
+    with only fragment/tracking-param cleanup. The authority is split
+    as scheme :// [userinfo @] hostport — only scheme and hostport are
+    case-insensitive per RFC 3986; userinfo is preserved verbatim."""
     no_frag = F.regexp_replace(url, "#.*", "")
-    head = F.lower(F.regexp_extract(no_frag, _HEAD_RE, 0))
+    head_raw = F.regexp_extract(no_frag, _HEAD_RE, 0)
     tail = F.regexp_replace(no_frag, _HEAD_RE, "")
-    head = (
+    scheme = F.lower(F.regexp_extract(head_raw, _SCHEME_RE, 0))
+    auth = F.regexp_replace(head_raw, _SCHEME_RE, "")
+    userinfo = F.regexp_extract(auth, _USERINFO_RE, 0)
+    hostport = F.lower(F.regexp_replace(auth, _USERINFO_RE, ""))
+    hostport = (
         F.when(
-            head.startswith("http://") & head.endswith(":80"),
-            F.substring(head, F.lit(1), F.length(head) - 3),
+            (scheme == F.lit("http://")) & hostport.endswith(":80"),
+            F.substring(hostport, F.lit(1), F.length(hostport) - 3),
         )
         .when(
-            head.startswith("https://") & head.endswith(":443"),
-            F.substring(head, F.lit(1), F.length(head) - 4),
+            (scheme == F.lit("https://")) & hostport.endswith(":443"),
+            F.substring(hostport, F.lit(1), F.length(hostport) - 4),
         )
-        .otherwise(head)
+        .otherwise(hostport)
     )
+    head = F.concat(scheme, userinfo, hostport)
     path = F.regexp_extract(tail, "^[^?]*", 0)
     query = F.regexp_replace(tail, "^[^?]*[?]?", "")
     kept = F.filter(
@@ -98,14 +112,16 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str = "url") -> DataFrame:
     )
 
 
-_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]*)"
+_HOST_RE = "^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)"
 
 
 def url_host_col(url: Column) -> Column:
     """Lowercased host of an absolute URL ('' for scheme-less input);
-    the port is not part of the host. Group-indexed regexp_extract —
-    identical semantics in Spark and DuckDB (group CAPTURE indices are
-    dialect-stable; only REPLACEMENT backreferences differ)."""
+    userinfo ('user:pass@') and the port are not part of the host.
+    Group-indexed regexp_extract — identical semantics in Spark and
+    DuckDB (group CAPTURE indices are dialect-stable; only REPLACEMENT
+    backreferences differ; (?:...) non-capturing groups are common to
+    Java regex and RE2)."""
     return F.regexp_extract(F.lower(url), _HOST_RE, 1)
 
 

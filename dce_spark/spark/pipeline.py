@@ -154,10 +154,29 @@ def run_pipeline(
     provider pinned; in environments without the iceberg-spark runtime
     jar the identical code path is exercised against the session
     catalog with ``table_provider="parquet"`` (see
-    tests/test_pipeline_resume.py). ``manifest_path`` locates the
-    lineage manifests for table sinks (defaults to the parquet
-    convention ``<output_path>/_manifest``).
+    tests/test_pipeline_resume.py). ``manifest_path`` (REQUIRED for
+    table sinks — a table name is not a filesystem path) locates the
+    lineage manifests; the parquet sink defaults it to
+    ``<output_path>/_manifest``.
     """
+    table_sink = sink in ("iceberg", "table")
+    if sink == "iceberg":
+        table_provider = "iceberg"
+    if table_sink and manifest_path is None:
+        # Pure-argument validation BEFORE any Spark job runs (the
+        # pre-bucketed input checks below scan metadata/samples —
+        # minutes at crawl scale). output_path is a catalog table NAME
+        # here, not a filesystem path; defaulting the manifest root to
+        # it would drop lineage manifests in a cwd-relative directory
+        # ("catalog.db.tbl/_manifest"), making resume silently depend
+        # on the driver's working directory — a rerun from another cwd
+        # re-extracts everything, a rerun from the same cwd against
+        # different input skips everything.
+        raise ValueError(
+            "sink='table'/'iceberg' needs an explicit manifest_path "
+            "(a filesystem or object-store URI for the lineage "
+            "manifests); the catalog table name cannot serve as one"
+        )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pages = spark.read.parquet(input_path)
     if "bucket" in pages.columns:
@@ -241,22 +260,6 @@ def run_pipeline(
         )
         pre_bucketed = False
 
-    table_sink = sink in ("iceberg", "table")
-    if sink == "iceberg":
-        table_provider = "iceberg"
-    if table_sink and manifest_path is None:
-        # output_path is a catalog table NAME here, not a filesystem
-        # path; defaulting the manifest root to it would drop lineage
-        # manifests in a cwd-relative directory ("catalog.db.tbl/
-        # _manifest"), making resume silently depend on the driver's
-        # working directory — a rerun from another cwd re-extracts
-        # everything, a rerun from the same cwd against different
-        # input skips everything
-        raise ValueError(
-            "sink='table'/'iceberg' needs an explicit manifest_path "
-            "(a filesystem or object-store URI for the lineage "
-            "manifests); the catalog table name cannot serve as one"
-        )
     manifest_root = manifest_path if manifest_path is not None else output_path
     done = completed_buckets(spark, manifest_root)
     todo = [b for b in range(buckets) if b not in done]

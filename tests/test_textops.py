@@ -689,6 +689,17 @@ def test_line_dedup_first_owner_semantics(spark):
     solo = spark.createDataFrame([(7, "x\nx\ny")], ["doc_id", "text"])
     r = textops.line_dedup(solo).collect()[0]
     assert r.text_dedup == "x\ny" and r.n_kept == 2 and r.n_lines == 3
+    # blank lines are paragraph STRUCTURE: never deduped, even across
+    # docs — paragraph boundaries survive everywhere
+    paras = spark.createDataFrame(
+        [(1, "A\n\nB"), (2, "C\n\nD"), (3, "A\n \nE")],
+        ["doc_id", "text"],
+    )
+    out2 = {r.doc_id: r.text_dedup
+            for r in textops.line_dedup(paras).collect()}
+    assert out2[1] == "A\n\nB"
+    assert out2[2] == "C\n\nD"          # its blank line survives
+    assert out2[3] == " \nE"             # 'A' owned by doc 1; ws-line kept
 
 
 def test_mixture_sample_budgets_and_shuffle_order(spark):
@@ -725,3 +736,15 @@ def test_mixture_sample_budgets_and_shuffle_order(spark):
     assert len(out25) == 3 and all(r.source == "s0" for r in out25)
     # unweighted sources contribute nothing
     assert not [r for r in out25 if r.source == "s1"]
+    # budgets ROUND rather than truncate: 0.7*350 is 244.999... in
+    # binary floats. With 61-token docs the fifth doc starts at offset
+    # 244 — taken under the correct budget 245, lost under a truncated
+    # 244.
+    docs61 = spark.createDataFrame(
+        [(i, " ".join(["w"] * 61), "en", "a", 122) for i in range(10)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out245 = textops.mixture_sample(
+        docs61, {"a": 0.7}, total_tokens=350
+    ).collect()
+    assert len(out245) == 5

@@ -14,8 +14,9 @@ CASES = [
     # root slash and no-slash collapse to one key
     ("HTTPS://EXAMPLE.com/", "https://example.com"),
     ("https://example.com", "https://example.com"),
-    # param ORDER of survivors is preserved (no sorting)
-    ("http://Site.org/p?gclid=1&q=2&ref=rss", "http://site.org/p?q=2"),
+    # param ORDER of survivors is preserved (no sorting); ref= is NOT
+    # a tracking param (git refs / pagination name real resources)
+    ("http://Site.org/p?gclid=1&q=2&ref=rss", "http://site.org/p?q=2&ref=rss"),
     ("http://a.com/p?b=2&a=1", "http://a.com/p?b=2&a=1"),
     # non-default port survives; tracking still stripped
     ("http://a.com:8080/x?utm_campaign=1", "http://a.com:8080/x"),
@@ -32,6 +33,10 @@ CASES = [
     ("http://a.com/a?&&k=v", "http://a.com/a?k=v"),
     # utm prefix must match exactly 'utm_', not 'utmX'
     ("http://a.com/a?utmx=1", "http://a.com/a?utmx=1"),
+    # userinfo is not host: preserved verbatim (case-sensitive), while
+    # host behind it still lowercases and sheds its default port
+    ("http://UserA:Pw@Host.COM:80/x", "http://UserA:Pw@host.com/x"),
+    ("https://token@API.net/v1", "https://token@api.net/v1"),
 ]
 
 
@@ -81,5 +86,12 @@ def test_host_stats_counts_canonical_pressure(spark):
     out = {r.host: (r.n_urls, r.n_canonical)
            for r in host_stats(df).collect()}
     assert out["farm.com"] == (3, 2)  # dup pressure: 3 urls, 2 canonical
+    # userinfo must not split a domain into phantom hosts
+    ui = spark.createDataFrame(
+        [(9, "http://admin@farm.com/a"), (10, "http://Farm.com/a")],
+        ["id", "url"],
+    )
+    got = {r.host: r.n_urls for r in host_stats(ui).collect()}
+    assert got == {"farm.com": 2}
     assert out["solo.net"] == (1, 1)
     assert out[""] == (1, 1)
