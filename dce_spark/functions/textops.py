@@ -1154,3 +1154,60 @@ def mixture_sample(
     return with_cum.filter(
         F.col("cum") - F.col("n_tokens") < F.col("budget")
     ).select("source", "doc_id", "n_tokens")
+
+
+def linear_quality_score(
+    documents: DataFrame,
+    weights: list[int] | None = None,
+    bias: int = 0,
+) -> DataFrame:
+    """Model-based quality scoring plumbing (the fastText-classifier
+    shape used by LLM data pipelines: hashed bag-of-words -> linear
+    score -> threshold). Each token hashes to a feature bucket (first
+    8 md5 hex digits mod n_buckets — engine-independent); the document
+    score is the mean bucket weight plus a bias.
+
+    ``weights`` are INTEGER tenths (e.g. 7 = 0.7): the per-document
+    accumulation is then an exact integer sum — order-independent and
+    identical on every engine and partitioning — with ONE final f64
+    division, the same determinism discipline as unigram_stats. A real
+    deployment broadcasts its trained weights as this literal array
+    (any size; the array lives in the plan, not in a join); the
+    default is a deterministic stand-in so the plumbing is testable
+    without a trained model.
+
+    Shape: one projection (no explode — the per-token work happens
+    inside array transform/aggregate on the row), no shuffle, no
+    Python. Empty documents score exactly bias/10."""
+    if weights is None:
+        # stand-in weights in [-10, 10] tenths, fixed by bucket index
+        weights = [((b * 37) % 21) - 10 for b in range(64)]
+    n_buckets = len(weights)
+    toks = tokens_col()
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    tok_w = F.transform(
+        toks,
+        lambda t: F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                % n_buckets
+                + 1
+            ).cast("int"),
+        ),
+    )
+    n_tok = F.size(toks).cast("long")
+    s = F.aggregate(
+        tok_w, F.lit(0).cast("long"), lambda acc, w: acc + w
+    )
+    score = F.when(n_tok == 0, F.lit(float(bias) / 10.0)).otherwise(
+        F.round(
+            (s.cast("double") / n_tok.cast("double") + F.lit(float(bias)))
+            / F.lit(10.0),
+            6,
+        )
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        score.alias("quality_score"),
+    )

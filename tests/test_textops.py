@@ -748,3 +748,38 @@ def test_mixture_sample_budgets_and_shuffle_order(spark):
         docs61, {"a": 0.7}, total_tokens=350
     ).collect()
     assert len(out245) == 5
+
+
+def test_linear_quality_score_hashed_buckets(spark):
+    """Score = mean(weight[md5-bucket(token)]) in integer tenths, one
+    final division; pluggable weights steer it; exact vs a Python
+    reimplementation of the same hash."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha alpha"), (3, "")],
+        ["doc_id", "text"],
+    )
+    weights = [((b * 37) % 21) - 10 for b in range(64)]
+    out = {r.doc_id: r.quality_score
+           for r in textops.linear_quality_score(docs).collect()}
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64
+
+    for doc_id, text in ((1, "alpha beta gamma"), (2, "alpha alpha alpha")):
+        toks = text.split(" ")
+        want = round(
+            sum(weights[bucket(t)] for t in toks) / len(toks) / 10.0, 6
+        )
+        assert out[doc_id] == want, (doc_id, out[doc_id], want)
+    # empty text splits to [''] in both engines — scored via bucket('')
+    assert out[3] == round(weights[bucket("")] / 10.0, 6)
+    # custom weights change the decision: all-positive weights push
+    # every doc above an all-negative weighting
+    hi = {r.doc_id: r.quality_score for r in textops.linear_quality_score(
+        docs, weights=[5] * 16).collect()}
+    lo = {r.doc_id: r.quality_score for r in textops.linear_quality_score(
+        docs, weights=[-5] * 16).collect()}
+    assert all(hi[d] > lo[d] for d in hi)
+    assert hi[1] == 0.5 and lo[1] == -0.5
