@@ -1211,3 +1211,30 @@ def linear_quality_score(
         F.col("doc_id").cast("long").alias("doc_id"),
         score.alias("quality_score"),
     )
+
+
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """Per-language length-distribution telemetry: exact p50/p90/p99
+    of n_chars plus the doc count — the dashboard numbers curation
+    jobs watch to catch a broken extractor or a crawl-mix shift (a
+    p99 collapse means truncation upstream; a p50 collapse means
+    boilerplate won).
+
+    EXACT percentiles (Spark's `percentile`, linear interpolation —
+    bit-identical to DuckDB's quantile_cont) — one per-group sort of
+    n_chars values. That is fine for the ~10^2-cardinality lang key
+    whose groups are telemetry-sized; at 10^12 rows switch the call
+    site to approx_percentile(n_chars, ...) (t-digest family, no full
+    sort) and accept the documented error bound — same schema, same
+    query shape."""
+    q = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    agg = documents.groupBy("lang").agg(
+        q.alias("_q"), F.count("*").cast("long").alias("n_docs")
+    )
+    return agg.select(
+        "lang",
+        F.col("_q")[0].alias("p50_chars"),
+        F.col("_q")[1].alias("p90_chars"),
+        F.col("_q")[2].alias("p99_chars"),
+        "n_docs",
+    )

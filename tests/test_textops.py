@@ -783,3 +783,17 @@ def test_linear_quality_score_hashed_buckets(spark):
         docs, weights=[-5] * 16).collect()}
     assert all(hi[d] > lo[d] for d in hi)
     assert hi[1] == 0.5 and lo[1] == -0.5
+
+
+def test_length_quantiles_exact_interpolation(spark):
+    rows = [(i, "t", "en", "s", c) for i, c in enumerate((10, 20, 30, 40))]
+    rows += [(9, "t", "de", "s", 7)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.lang: r for r in textops.length_quantiles(docs).collect()}
+    # linear interpolation: p50 of [10,20,30,40] = 25, p90 = 37
+    assert out["en"].p50_chars == 25.0
+    assert out["en"].p90_chars == pytest.approx(37.0)
+    assert out["en"].n_docs == 4
+    assert out["de"].p50_chars == 7.0 and out["de"].n_docs == 1
