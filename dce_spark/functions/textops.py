@@ -1238,3 +1238,217 @@ def length_quantiles(documents: DataFrame) -> DataFrame:
         F.col("_q")[2].alias("p99_chars"),
         "n_docs",
     )
+
+
+def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score each document by its cross-entropy under a corpus
+    unigram model, then split every source into head/middle/tail
+    buckets at the per-source quartiles — head (lowest cross-entropy,
+    most in-domain) is what a pretraining mix keeps first.
+
+    H(d) = log2(N_source) - (1/n_d) * sum_t log2(cnt(t)); cnt comes
+    from the corpus itself so there is no OOV mass (cnt >= 1).
+
+    Cross-engine determinism: a raw f64 sum of logs is ordering-
+    dependent, so each token's log2(cnt) is first rounded to 1e-6
+    fixed point and summed as INTEGERS (associative, partitioning-
+    independent); the per-doc score stays an integer (truncating
+    division by n_d). Bucket thresholds are the sorted per-source
+    score elements at ranks ceil(n/4) and ceil(3n/4) — integer rank
+    selection, NOT interpolated percentiles: Spark's `percentile`
+    and DuckDB's quantile_cont interpolate with different float
+    expressions (lower*(1-f)+upper*f vs lower+(upper-lower)*f),
+    which can disagree by 1 ulp exactly when tied values straddle a
+    quartile and flip a bucket; element-at-rank on integers cannot.
+
+    Scale shape: explode -> vocab groupBy (map-side partials; Zipf-
+    small vs the token stream) -> join back on (source, tok) -> one
+    integer per-doc agg -> two tiny broadcast joins (per-source token
+    totals, per-source thresholds). No windows, no low-cardinality
+    window keys. The threshold agg collects per-source doc scores
+    (fine to ~10^8 docs/source); at 10^12 docs derive thresholds
+    from a deterministic_sample (hash filter) — same query shape."""
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.explode(tokens_col()).alias("tok"),
+    )
+    vocab = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # per-type fixed-point log2(cnt), computed once per vocab entry
+    vocab = vocab.withColumn(
+        "lp_micro",
+        F.round(F.log2(F.col("cnt")) * F.lit(1e6), 0).cast("long"),
+    )
+    totals = vocab.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_total")
+    ).withColumn(
+        "logN_micro",
+        F.round(F.log2(F.col("n_total")) * F.lit(1e6), 0).cast("long"),
+    )
+    per_doc = (
+        toks.join(vocab, ["source", "tok"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lp_micro").cast("long").alias("_sum_lp"),
+        )
+    )
+    scored = per_doc.join(F.broadcast(totals), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            F.col("logN_micro")
+            - F.expr("_sum_lp div n_tokens")
+        ).cast("long").alias("_h_micro"),
+    )
+    thresholds = scored.groupBy("source").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(_h_micro)),"
+            " cast(ceil(0.25 * count(*)) as int))"
+        ).alias("_q25"),
+        F.expr(
+            "element_at(array_sort(collect_list(_h_micro)),"
+            " cast(ceil(0.75 * count(*)) as int))"
+        ).alias("_q75"),
+    )
+    return scored.join(F.broadcast(thresholds), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(F.col("_h_micro").cast("double") / F.lit(1e6), 6).alias(
+            "cross_entropy"
+        ),
+        F.when(F.col("_h_micro") <= F.col("_q25"), F.lit("head"))
+        .when(F.col("_h_micro") > F.col("_q75"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+    )
+
+
+def dup_ngram_fraction(
+    documents: DataFrame, k: int = 5, threshold: float = 0.3
+) -> DataFrame:
+    """RefinedWeb/Gopher-style corpus-duplicate n-gram filter
+    (Penedo et al. 2023 §3.3): for each document, the fraction of its
+    DISTINCT word k-grams that also occur in at least one OTHER
+    document. High fractions mark boilerplate/template pages that
+    survive exact and near-dup passes because the novel remainder
+    differs.
+
+    Integer math end to end (counts, one final division, round 6) —
+    deterministic under any partitioning.
+
+    Scale shape: shingle explode (distinct per doc already, see
+    _shingles) -> one groupBy on the shingle key for document
+    frequency (map-side partials; Zipf head is the hot key but the
+    agg is a count, not a pair join — no d^2 blowup, unlike
+    ngram_jaccard which needs the df cap) -> join back on shingle ->
+    per-doc integer agg -> left join for totality over input docs
+    (docs shorter than k words have no shingles, frac 0)."""
+    sh = shingle_table(documents, k)
+    df_counts = sh.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("_df")
+    )
+    per_doc = (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("_n_dup"),
+        )
+    )
+    return (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .na.fill({"n_ngrams": 0, "_n_dup": 0})
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    F.col("_n_dup").cast("double")
+                    / F.col("n_ngrams").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ngram_frac"),
+            (
+                F.when(
+                    F.col("n_ngrams") > 0,
+                    F.col("_n_dup").cast("double")
+                    / F.col("n_ngrams").cast("double"),
+                ).otherwise(F.lit(0.0))
+                > F.lit(float(threshold))
+            ).alias("flagged"),
+        )
+    )
+
+
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_filter(documents: DataFrame, min_words: int = 5,
+              min_sentences: int = 3) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2) as one fused
+    projection — entirely inside whole-stage codegen, no shuffle:
+
+    line level — keep only lines that (a) end in a terminal
+    punctuation mark, (b) contain >= min_words words, (c) do not
+    mention 'javascript';
+    page level — drop the page when the raw text contains
+    'lorem ipsum' or a curly brace (code), or when fewer than
+    min_sentences sentences survive line cleaning.
+
+    Output is total over input docs: cleaned_text plus the keep
+    decision and the counters a curation dashboard tracks. At 10^12
+    rows this is a pure map — partitioning-independent, no state.
+
+    Staged projections on purpose: the line-filter lambda and the
+    regexp sentence count are expensive, and naming each intermediate
+    in its own select means every downstream column references the
+    alias instead of re-inlining the expression (CollapseProject
+    keeps stages apart when a non-cheap alias is referenced more
+    than once) — one lambda evaluation per row, not five."""
+    keep_line = lambda ln: (
+        F.right(F.rtrim(ln), F.lit(1)).isin(*_C4_TERMINALS)
+        & (F.size(F.split(F.trim(ln), " ")) >= F.lit(min_words))
+        & ~F.contains(F.lower(ln), F.lit("javascript"))
+    )
+    staged = (
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            F.split(F.col("text"), "\n").alias("_lines"),
+        )
+        .withColumn("_kept", F.filter(F.col("_lines"), keep_line))
+        .withColumn("_cleaned", F.array_join(F.col("_kept"), "\n"))
+        .withColumn(
+            "_n_sent",
+            F.regexp_count(F.col("_cleaned"), F.lit(r"[.!?]")),
+        )
+        .withColumn(
+            "_drop",
+            F.contains(F.lower(F.col("text")), F.lit("lorem ipsum"))
+            | F.contains(F.col("text"), F.lit("{"))
+            | (F.col("_n_sent") < F.lit(min_sentences)),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.col("_lines")).cast("long").alias("n_lines"),
+        F.size(F.col("_kept")).cast("long").alias("n_kept_lines"),
+        F.col("_n_sent").cast("long").alias("n_sentences"),
+        (~F.col("_drop")).alias("kept"),
+        F.when(~F.col("_drop"), F.col("_cleaned"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("cleaned_text"),
+    )

@@ -151,3 +151,42 @@ def test_url_ops_plans(spark):
         assert "Python" not in plan, q
         assert "HashAggregate" in plan, q
         assert "SortMergeJoin" not in plan, q
+
+
+def test_cross_entropy_plan_broadcast_thresholds_no_window(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_cross_entropy"](spark, SF))
+    # integer per-doc agg with map-side partials; the per-source
+    # totals and thresholds come back as broadcast joins; no Window
+    # operator anywhere (rank selection happens inside an aggregate)
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_dup_ngrams_plan_no_pair_join(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_dup_ngrams"](spark, SF))
+    # df counting is a plain aggregate on the shingle key — no
+    # self-join pair explosion, no cartesian, all JVM-side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "Python" not in plan
+
+
+def test_c4_filter_pure_projection(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_c4_filter"](spark, SF))
+    # map-only: no shuffle at all, no Python
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    # the staged projections keep the expensive line-filter lambda
+    # from being re-inlined into every output column: exactly one
+    # filter(...) evaluation per row survives optimization
+    assert plan.count("lambdafunction") == 1, plan.count("lambdafunction")

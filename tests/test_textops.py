@@ -797,3 +797,114 @@ def test_length_quantiles_exact_interpolation(spark):
     assert out["en"].p90_chars == pytest.approx(37.0)
     assert out["en"].n_docs == 4
     assert out["de"].p50_chars == 7.0 and out["de"].n_docs == 1
+
+
+def test_unigram_cross_entropy_buckets(spark):
+    # 8 docs in one source: "common" appears everywhere (low H),
+    # docs of rare words score high; bucket split at ranks 2 and 6
+    rows = []
+    for i in range(6):
+        rows.append((i, "common common common", "en", "s0", 0))
+    rows.append((6, "rare1 rare2 rare3", "en", "s0", 0))
+    rows.append((7, "rare4 rare5 rare6", "en", "s0", 0))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in
+           textops.unigram_cross_entropy(docs).collect()}
+    assert len(out) == 8
+    # N = 24 tokens; common docs: H = log2(24) - log2(18) = log2(4/3)
+    import math
+    h_common = (round(math.log2(24) * 1e6) -
+                round(math.log2(18) * 1e6)) / 1e6
+    assert out[0].cross_entropy == pytest.approx(round(h_common, 6))
+    # rare docs: H = log2(24) - log2(1) = log2(24), strictly higher
+    assert out[6].cross_entropy > out[0].cross_entropy
+    # ranks: q25 = 2nd lowest (common), q75 = 6th (common) -> the six
+    # common docs are head, the two rare docs are tail
+    assert all(out[i].bucket == "head" for i in range(6))
+    assert out[6].bucket == "tail" and out[7].bucket == "tail"
+    assert out[6].n_tokens == 3
+
+
+def test_unigram_cross_entropy_per_source_thresholds(spark):
+    # two sources with disjoint vocab: bucketing is within-source, so
+    # each source gets its own head/tail split even though one
+    # source's H values are globally higher
+    rows = [(i, " ".join(["a"] * 4), "en", "sA", 0) for i in range(3)]
+    rows += [(3, "x y z", "en", "sA", 0)]
+    rows += [(10 + i, f"u{i} v{i}", "en", "sB", 0) for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in
+           textops.unigram_cross_entropy(docs).collect()}
+    assert out[3].bucket == "tail"          # the one rare doc in sA
+    # sB: all docs tie (every token hapax) -> all land on the q25
+    # element -> all head, deterministically
+    assert all(out[10 + i].bucket == "head" for i in range(4))
+
+
+def test_dup_ngram_fraction(spark):
+    shared = "one two three four five six"      # 2 distinct 5-grams
+    rows = [
+        (1, shared, "en", "s", 0),
+        (2, shared + " seven", "en", "s", 0),    # 3 5-grams, 2 shared
+        (3, "p q r s t u v", "en", "s", 0),      # 3 unique 5-grams
+        (4, "too short", "en", "s", 0),          # no 5-grams
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in
+           textops.dup_ngram_fraction(docs, k=5).collect()}
+    assert out[1].n_ngrams == 2 and out[1].dup_ngram_frac == 1.0
+    assert out[1].flagged
+    assert out[2].n_ngrams == 3
+    assert out[2].dup_ngram_frac == pytest.approx(round(2 / 3, 6))
+    assert out[3].dup_ngram_frac == 0.0 and not out[3].flagged
+    assert out[4].n_ngrams == 0 and out[4].dup_ngram_frac == 0.0
+
+
+def test_c4_filter_rules(spark):
+    good = "Here is a perfectly fine sentence with words."
+    rows = [
+        # 3 good sentences -> kept
+        (1, "\n".join([good, good, good]), "en", "s", 0),
+        # only 2 sentences survive -> page dropped
+        (2, "\n".join([good, good]), "en", "s", 0),
+        # line without terminal punctuation is filtered out
+        (3, "\n".join([good, good, good,
+                       "no terminal punctuation on this line"]),
+         "en", "s", 0),
+        # short line filtered; javascript line filtered
+        (4, "\n".join([good, good, good, "tiny.",
+                       "Please enable javascript to continue now."]),
+         "en", "s", 0),
+        # lorem ipsum anywhere kills the page
+        (5, "\n".join([good, good, good, "lorem ipsum dolor."]),
+         "en", "s", 0),
+        # curly brace kills the page
+        (6, "\n".join([good, good, good, "var x = { a: 1 };"]),
+         "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in textops.c4_filter(docs).collect()}
+    assert out[1].kept and out[1].cleaned_text == "\n".join([good] * 3)
+    assert out[1].n_sentences == 3 and out[1].n_kept_lines == 3
+    assert not out[2].kept and out[2].cleaned_text is None
+    assert out[3].kept and out[3].n_kept_lines == 3  # bad line dropped
+    assert out[3].n_lines == 4
+    assert out[4].kept and out[4].n_kept_lines == 3
+    assert not out[5].kept
+    assert not out[6].kept
+    # a quote-terminated line counts as a sentence-ending line
+    q = 'He said the word "finally there was quiet."'
+    docs2 = spark.createDataFrame(
+        [(7, "\n".join([good, good, q]), "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    row = textops.c4_filter(docs2).collect()[0]
+    assert row.n_kept_lines == 3 and row.kept
