@@ -22,9 +22,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from dce_spark.functions.textops import (
     decontaminate,
+    dup_ngram_fraction,
     minhash_dedup,
     pack_shards,
     tokens_col,
+    unigram_cross_entropy,
 )
 
 
@@ -35,9 +37,22 @@ def curate_corpus(
     min_tokens: int = 20,
     k: int = 3,
     token_budget: int = 4096,
+    max_dup_ngram_frac: float | None = None,
+    drop_tail_bucket: bool = False,
+    dup_k: int = 5,
 ) -> DataFrame:
     """Returns the packed shard table (source, doc_id, n_tokens, shard)
-    of the curated survivors."""
+    of the curated survivors.
+
+    Optional strict gates (both corpus-relative, so they run over the
+    near-dup SURVIVORS — measuring them pre-dedup would let the very
+    duplicates being removed inflate every doc's dup-ngram fraction
+    and shift the cross-entropy quartiles):
+    * max_dup_ngram_frac — drop docs whose corpus-duplicate k-gram
+      fraction exceeds the bound (RefinedWeb-style boilerplate gate)
+    * drop_tail_bucket — drop the per-source cross-entropy 'tail'
+      quartile (CCNet-style LM quality gate), computed over the
+      dup-gate survivors"""
     base = documents.withColumn("doc_id", F.col("doc_id").cast("long"))
     gated = base.filter(F.size(tokens_col()) >= min_tokens)
 
@@ -50,6 +65,21 @@ def curate_corpus(
     g3 = g2.join(
         mh.filter(F.col("is_kept")).select("doc_id"), "doc_id", "semi"
     )
+
+    if max_dup_ngram_frac is not None:
+        dup = dup_ngram_fraction(g3, k=dup_k,
+                                 threshold=max_dup_ngram_frac)
+        g3 = g3.join(
+            dup.filter(~F.col("flagged")).select("doc_id"), "doc_id",
+            "semi",
+        )
+
+    if drop_tail_bucket:
+        ce = unigram_cross_entropy(g3)
+        g3 = g3.join(
+            ce.filter(F.col("bucket") != "tail").select("doc_id"),
+            "doc_id", "semi",
+        )
 
     # decontamination: drop survivors sharing any k-gram with the
     # benchmark (benchmark members themselves self-hit and drop out)

@@ -139,3 +139,41 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("url_norm").alias("n_canonical"),
     )
+
+
+def latest_snapshot(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Crawl-snapshot dedup: the same page is re-fetched in every
+    crawl; keep only the NEWEST capture of each canonical URL (the
+    Common-Crawl "latest revision wins" policy), ties broken by the
+    highest id so the choice is deterministic.
+
+    One groupBy on the canonical key with a single max(struct(ts, id))
+    aggregate — lexicographic struct ordering gives argmax-by-(ts, id)
+    with full map-side partial aggregation and no Window operator (no
+    per-key row_number sort, no low-cardinality window key; cf. the
+    events_last_max plan test). At 10^12 rows this is exactly one
+    linear shuffle on the canonical-url key; the canonical key itself
+    is computed map-side in the scan projection."""
+    canon = url_normalize_col(F.col(url_col))
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            canon.alias("canonical_url"),
+            F.col(ts_col).cast("long").alias("_ts"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.max(F.struct(F.col("_ts").alias("ts"),
+                           F.col("_id").alias("id"))).alias("_m"),
+            F.count(F.lit(1)).cast("long").alias("n_versions"),
+        )
+        .select(
+            "canonical_url",
+            F.col("_m.id").alias("kept_id"),
+            F.col("_m.ts").alias("kept_ts"),
+            "n_versions",
+        )
+    )

@@ -190,3 +190,13 @@ def test_c4_filter_pure_projection(spark):
     # from being re-inlined into every output column: exactly one
     # filter(...) evaluation per row survives optimization
     assert plan.count("lambdafunction") == 1, plan.count("lambdafunction")
+
+
+def test_url_latest_max_struct_no_window(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_url_latest"](spark, SF))
+    # argmax via max(struct) — map-side partial agg, no Window sort
+    assert "partial_max" in plan
+    assert "Window" not in plan
+    assert "Python" not in plan

@@ -908,3 +908,53 @@ def test_c4_filter_rules(spark):
     )
     row = textops.c4_filter(docs2).collect()[0]
     assert row.n_kept_lines == 3 and row.kept
+
+
+def test_curate_corpus_strict_gates_bite(spark):
+    """The two strict gates must each remove their target class on top
+    of the base pipeline: a boilerplate doc built almost entirely from
+    5-grams shared with another doc (dup-ngram cap), and a doc of
+    corpus-rare tokens (cross-entropy tail)."""
+    from dce_spark.functions.curation import curate_corpus
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    # docs 1-4: the same 10-word vocabulary traversed with coprime
+    # strides — common (low cross-entropy) tokens but fully disjoint
+    # adjacencies, so no shared shingles: all four survive every
+    # dedup family and the dup-ngram cap
+    rows = [
+        (i + 1, " ".join(f"c{(j * s) % 10}" for j in range(25)),
+         "en", "s1", 0)
+        for i, s in enumerate((1, 3, 7, 9))
+    ]
+    # rare-vocab doc: every token hapax -> highest cross-entropy
+    rows.append((6, " ".join(f"zz{i} qq{i}" for i in range(15)),
+                 "en", "s1", 0))
+    # boilerplate pair: a 30-token shared run plus a distinct 16-token
+    # half each — similarity too low for minhash, but >1/2 of each
+    # doc's 5-grams live in the shared run, so the dup cap drops BOTH
+    shared_run = " ".join(f"p{i}" for i in range(30))
+    rows.append((7, shared_run + " " + " ".join(
+        f"d7x{i}" for i in range(16)), "en", "s1", 0))
+    rows.append((8, shared_run + " " + " ".join(
+        f"d8y{i}" for i in range(16)), "en", "s1", 0))
+    docs = spark.createDataFrame(rows, cols)
+    benchmark = spark.createDataFrame(
+        [(99, " ".join(f"b{i} c{i}" for i in range(15)), "en", "b", 0)],
+        cols,
+    )
+    base = {r.doc_id for r in curate_corpus(
+        docs, benchmark, min_tokens=20, token_budget=4096
+    ).collect()}
+    strict = {r.doc_id for r in curate_corpus(
+        docs, benchmark, min_tokens=20, token_budget=4096,
+        max_dup_ngram_frac=0.5, drop_tail_bucket=True, dup_k=5,
+    ).collect()}
+    assert strict <= base                 # gates only remove docs
+    assert base == {1, 2, 3, 4, 6, 7, 8}  # base pipeline keeps all
+    # dup-ngram cap: both copies of the boilerplate run exceed 0.5
+    assert 7 not in strict and 8 not in strict
+    # cross-entropy tail: over the dup-cap survivors {1,2,3,4,6},
+    # q75 is a common-vocab doc's score; the hapax doc is the tail
+    assert 6 not in strict
+    assert strict == {1, 2, 3, 4}

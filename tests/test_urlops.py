@@ -95,3 +95,28 @@ def test_host_stats_counts_canonical_pressure(spark):
     assert got == {"farm.com": 2}
     assert out["solo.net"] == (1, 1)
     assert out[""] == (1, 1)
+
+
+def test_latest_snapshot_keeps_newest_then_highest_id(spark):
+    from dce_spark.functions.urlops import latest_snapshot
+
+    rows = [
+        # three captures of the same canonical page across "crawls"
+        (1, "HTTP://Farm.com:80/a?utm_source=x", 100),
+        (2, "http://farm.com/a", 300),              # newest -> wins
+        (3, "http://farm.com/a#frag", 200),
+        # ts tie: the higher doc_id wins deterministically
+        (4, "https://solo.net/x", 50),
+        (5, "https://Solo.net:443/x", 50),
+        # single capture passes through
+        (6, "http://one.org/p", 7),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "ts"])
+    out = {r.canonical_url: r for r in latest_snapshot(df).collect()}
+    assert len(out) == 3
+    farm = out["http://farm.com/a"]
+    assert farm.kept_id == 2 and farm.kept_ts == 300
+    assert farm.n_versions == 3
+    solo = out["https://solo.net/x"]
+    assert solo.kept_id == 5 and solo.kept_ts == 50
+    assert out["http://one.org/p"].n_versions == 1
