@@ -1306,15 +1306,23 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
             - F.expr("_sum_lp div n_tokens")
         ).cast("long").alias("_h_micro"),
     )
-    thresholds = scored.groupBy("source").agg(
-        F.expr(
-            "element_at(array_sort(collect_list(_h_micro)),"
-            " cast(ceil(0.25 * count(*)) as int))"
-        ).alias("_q25"),
-        F.expr(
-            "element_at(array_sort(collect_list(_h_micro)),"
-            " cast(ceil(0.75 * count(*)) as int))"
-        ).alias("_q75"),
+    # one collect + ONE sort per source; rank extraction happens in
+    # the post-agg projection so the broadcast carries only two longs
+    thresholds = (
+        scored.groupBy("source")
+        .agg(
+            F.array_sort(F.collect_list("_h_micro")).alias("_sorted"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "source",
+            F.expr(
+                "element_at(_sorted, cast(ceil(0.25 * _n) as int))"
+            ).alias("_q25"),
+            F.expr(
+                "element_at(_sorted, cast(ceil(0.75 * _n) as int))"
+            ).alias("_q75"),
+        )
     )
     return scored.join(F.broadcast(thresholds), "source").select(
         "doc_id",
