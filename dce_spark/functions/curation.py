@@ -66,20 +66,30 @@ def curate_corpus(
         mh.filter(F.col("is_kept")).select("doc_id"), "doc_id", "semi"
     )
 
+    # Each corpus-relative gate references the survivor frame several
+    # times (shingle side + totalization + the semi-join back), and
+    # Spark recomputes the full upstream lineage per reference — the
+    # minhash subtree would re-run 2^stages times. Persisting the
+    # survivor frontier between gates cuts that to once per stage; a
+    # cluster job at 100 TB would checkpoint the survivors to the
+    # warehouse instead (same cut, durable + spillable).
+    if max_dup_ngram_frac is not None or drop_tail_bucket:
+        g3 = g3.persist()
+
     if max_dup_ngram_frac is not None:
         dup = dup_ngram_fraction(g3, k=dup_k,
                                  threshold=max_dup_ngram_frac)
         g3 = g3.join(
             dup.filter(~F.col("flagged")).select("doc_id"), "doc_id",
             "semi",
-        )
+        ).persist()
 
     if drop_tail_bucket:
         ce = unigram_cross_entropy(g3)
         g3 = g3.join(
             ce.filter(F.col("bucket") != "tail").select("doc_id"),
             "doc_id", "semi",
-        )
+        ).persist()
 
     # decontamination: drop survivors sharing any k-gram with the
     # benchmark (benchmark members themselves self-hit and drop out)
