@@ -4,7 +4,11 @@ MinHash near-dup dedup -> benchmark decontamination -> token-budget
 shard packing, over a documents parquet table.
 
 Usage:
-  python examples/curate.py [sf_dir] [token_budget]
+  python examples/curate.py [sf_dir] [token_budget] [--strict]
+
+--strict adds the corpus-relative gates between dedup and
+decontamination: the RefinedWeb duplicate-5-gram cap (frac > 0.5
+drops) and the CCNet cross-entropy tail-quartile drop.
 
 Prints the survivor count per stage-equivalent and the shard histogram.
 """
@@ -16,8 +20,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    budget = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    budget = int(args[1]) if len(args) > 1 else 4096
 
     from pyspark.sql import functions as F
 
@@ -29,7 +35,11 @@ def main() -> int:
     benchmark = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
 
     n_in = docs.count()
-    packed = curate_corpus(docs, benchmark, token_budget=budget)
+    gates = (
+        dict(max_dup_ngram_frac=0.5, drop_tail_bucket=True)
+        if strict else {}
+    )
+    packed = curate_corpus(docs, benchmark, token_budget=budget, **gates)
     n_out = packed.count()
     print(f"documents in:  {n_in}")
     print(f"survivors out: {n_out}  ({100.0 * n_out / max(n_in,1):.1f}%)")
