@@ -176,20 +176,10 @@ def lang_id(documents: DataFrame) -> DataFrame:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality(
-    documents: DataFrame,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    min_alpha_frac: float = 0.8,
-    min_stop_hits: int = 2,
-) -> DataFrame:
-    """Gopher-style document quality rules (Rae et al. 2021, §A1.1):
-    word-count bounds, mean-word-length bounds, fraction of words with
-    an alphabetic character, and a required minimum of canonical
-    stopword hits. Emits the signals plus the combined keep flag — all
-    pure Catalyst array expressions, one projection, no shuffle."""
+def _gopher_signal_cols():
+    """The four Gopher §A1.1 signal columns over the text column —
+    shared by gopher_quality (per-doc signals) and filter_funnel
+    (per-source telemetry) so the rules cannot diverge."""
     toks = tokens_col()
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
@@ -206,6 +196,24 @@ def gopher_quality(
     stop_hits = F.size(
         F.filter(toks, lambda t: F.array_contains(stop_arr, t))
     ).cast("long")
+    return n_words, mean_word_len, alpha_frac, stop_hits
+
+
+def gopher_quality(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, fraction of words with
+    an alphabetic character, and a required minimum of canonical
+    stopword hits. Emits the signals plus the combined keep flag — all
+    pure Catalyst array expressions, one projection, no shuffle."""
+    n_words, mean_word_len, alpha_frac, stop_hits = _gopher_signal_cols()
     keep = (
         (n_words >= min_words)
         & (n_words <= max_words)
@@ -1459,4 +1467,57 @@ def c4_filter(documents: DataFrame, min_words: int = 5,
         F.when(~F.col("_drop"), F.col("_cleaned"))
         .otherwise(F.lit(None).cast("string"))
         .alias("cleaned_text"),
+    )
+
+
+def filter_funnel(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-source filter-funnel telemetry: for each Gopher gate, how
+    many documents pass it independently AND how many survive the
+    gates applied in order — the dashboard numbers a curation job
+    watches to see WHICH rule is eating the corpus (a pass-rate
+    collapse on one gate after a crawl-mix shift is the first alarm).
+
+    One projection of boolean flags (the exact _gopher_signal_cols
+    rules) followed by one integer groupBy on source — map-side
+    partials, output rows = |sources|. Pure counts, deterministic
+    under any partitioning; linear at 10^12 rows."""
+    n_words, mean_word_len, alpha_frac, stop_hits = _gopher_signal_cols()
+    p_words = (n_words >= min_words) & (n_words <= max_words)
+    p_wordlen = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    p_alpha = alpha_frac >= min_alpha_frac
+    p_stop = stop_hits >= min_stop_hits
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    flags = documents.select(
+        "source",
+        p_words.alias("_pw"),
+        p_wordlen.alias("_pl"),
+        p_alpha.alias("_pa"),
+        p_stop.alias("_ps"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt(F.col("_pw")).alias("pass_words"),
+        cnt(F.col("_pl")).alias("pass_wordlen"),
+        cnt(F.col("_pa")).alias("pass_alpha"),
+        cnt(F.col("_ps")).alias("pass_stopwords"),
+        cnt(F.col("_pw") & F.col("_pl")).alias("surv_wordlen"),
+        cnt(F.col("_pw") & F.col("_pl") & F.col("_pa")).alias(
+            "surv_alpha"
+        ),
+        cnt(
+            F.col("_pw") & F.col("_pl") & F.col("_pa") & F.col("_ps")
+        ).alias("surv_all"),
     )

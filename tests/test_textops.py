@@ -958,3 +958,30 @@ def test_curate_corpus_strict_gates_bite(spark):
     # q75 is a common-vocab doc's score; the hapax doc is the tail
     assert 6 not in strict
     assert strict == {1, 2, 3, 4}
+
+
+def test_filter_funnel_counts(spark):
+    good = " ".join(["the"] * 2 + [f"word{i}" for i in range(60)])
+    rows = [
+        (1, good, "en", "sA", 0),                       # passes all
+        (2, "short one", "en", "sA", 0),                # fails words
+        # enough words but every "word" is a digit: fails alpha +
+        # wordlen (mean len 1) + stopwords
+        (3, " ".join(["1"] * 60), "en", "sA", 0),
+        (4, good, "en", "sB", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.source: r for r in textops.filter_funnel(docs).collect()}
+    a = out["sA"]
+    assert a.n_docs == 3
+    assert a.pass_words == 2          # docs 1 and 3
+    assert a.pass_alpha == 2          # docs 1 and 2
+    assert a.pass_stopwords == 1      # doc 1
+    assert a.surv_wordlen == 1 and a.surv_all == 1
+    b = out["sB"]
+    assert b.n_docs == 1 and b.surv_all == 1
+    # funnel is monotone: each stage can only shrink
+    for r in (a, b):
+        assert r.pass_words >= r.surv_wordlen >= r.surv_alpha >= r.surv_all
