@@ -176,11 +176,12 @@ def lang_id(documents: DataFrame) -> DataFrame:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def _gopher_signal_cols():
-    """The four Gopher §A1.1 signal columns over the text column —
-    shared by gopher_quality (per-doc signals) and filter_funnel
-    (per-source telemetry) so the rules cannot diverge."""
-    toks = tokens_col()
+def _gopher_signal_cols(col: str = "text"):
+    """The four Gopher §A1.1 signal columns over `col` — shared by
+    gopher_quality (per-doc signals), filter_funnel (per-source
+    telemetry) and the streaming quality gate so the rules cannot
+    diverge."""
+    toks = tokens_col(col)
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("long")),

@@ -17,6 +17,40 @@ from dce_spark.spark.schema import PAGES_SCHEMA
 from dce_spark.spark.udf import attach_extraction
 
 
+def _quality_gate(extracted, min_words: int):
+    """Stateless in-flight quality gate on the EXTRACTED text: the
+    Gopher keep rule (word-count floor, mean-word-length band,
+    alphabetic fraction, stopword floor — the shared
+    textops._gopher_signal_cols expressions) applied as a streaming
+    filter, so boilerplate-only and junk pages never reach the sink.
+    Pure projection+filter: no state, no watermark interaction, valid
+    in append mode. Failed extractions (status != 'ok') are kept —
+    dropping errors would hide ingest problems from the sink's
+    monitoring."""
+    from dce_spark.functions.textops import _gopher_signal_cols
+
+    # mode="article" leaves extracted_text null — gate on whichever
+    # text the mode produced (a null column would null the predicate
+    # and silently drop every row)
+    gated = extracted.withColumn(
+        "_gate_text",
+        F.coalesce("extracted_text", "article_text", F.lit("")),
+    )
+    n_words, mean_word_len, alpha_frac, stop_hits = _gopher_signal_cols(
+        "_gate_text"
+    )
+    keep = (
+        (n_words >= min_words)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return gated.filter((F.col("status") != "ok") | keep).drop(
+        "_gate_text"
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -24,14 +58,21 @@ def stream_extract(
     checkpoint_dir: str,
     mode: str = "both",
     max_files_per_trigger: int = 16,
+    quality_gate: bool = False,
+    min_words: int = 50,
 ):
-    """Start the streaming extraction query; returns StreamingQuery."""
+    """Start the streaming extraction query; returns StreamingQuery.
+
+    ``quality_gate=True`` filters emitted rows through the Gopher keep
+    rule over the extracted text (see _quality_gate)."""
     pages = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     extracted = attach_extraction(pages, mode=mode)
+    if quality_gate:
+        extracted = _quality_gate(extracted, min_words)
     return (
         extracted.writeStream.format("parquet")
         .option("path", output_dir)

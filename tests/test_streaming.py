@@ -126,3 +126,40 @@ def test_stream_dedup_canonical_urls(spark, tmp_path):
     assert "url_key" not in out.columns
     assert any(u in urls for u in
                ("https://a.test/p?utm_source=feed", "HTTPS://A.test/p#top"))
+
+
+def test_stream_quality_gate_filters_junk(spark, tmp_path):
+    """quality_gate=True keeps rich pages and drops boilerplate-only
+    extractions, using the same Gopher rule as the batch operators."""
+    import datetime as dt
+
+    from dce_spark.spark.schema import PAGES_SCHEMA
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    ts = dt.datetime(2025, 6, 1, 12, 0, 0)
+    body = " ".join(
+        "the quick brown fox and that dog have fun with it".split()
+        * 8
+    )
+    rich = f"<html><body><p>{body}</p></body></html>".encode()
+    junk = b"<html><body><p>menu</p></body></html>"
+    rows = [
+        ("https://q.test/rich", ts, rich, None, "en"),
+        ("https://q.test/junk", ts, junk, None, "en"),
+    ]
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ck_dir,
+                       quality_gate=True, min_words=20)
+    try:
+        _wait_done(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    urls = {r.url for r in out.select("url").collect()}
+    assert urls == {"https://q.test/rich"}
+    # the gate column is internal — the sink schema is unchanged
+    assert "_gate_text" not in out.columns
