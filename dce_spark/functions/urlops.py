@@ -177,3 +177,53 @@ def latest_snapshot(
             "n_versions",
         )
     )
+
+
+def url_blocklist_filter(
+    df: DataFrame, blocklist: DataFrame, id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain-blocklist filtering (the UT1/adult-blocklist hygiene
+    pass every crawl pipeline runs first): a page is blocked when its
+    host OR ANY PARENT DOMAIN is listed — ads.tracker.example.com
+    matches a blocklist entry 'example.com'.
+
+    Spark shape: the host explodes into its <=~5 dot-suffixes
+    (projection-side, no shuffle of the big side beyond the explode),
+    then ONE semi-join against the blocklist on the suffix key. The
+    blocklist is broadcast here (UT1-size lists, ~10^6-10^7 hosts,
+    fit comfortably); for a larger list drop the hint and AQE falls
+    back to a shuffled hash join on the same key. Output is TOTAL
+    over input rows: (id, host, blocked) — callers keep ~blocked or
+    route blocked rows to a quarantine sink."""
+    host = url_host_col(F.col(url_col))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n)),
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        host.alias("host"),
+        sufs.alias("_sufs"),
+    )
+    hits = (
+        base.select(id_col, F.explode("_sufs").alias("suffix"))
+        .join(
+            F.broadcast(blocklist.select(F.col("host").alias("suffix"))),
+            "suffix",
+            "semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        base.select(id_col, "host")
+        .join(hits.withColumn("_b", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "host",
+            F.coalesce(F.col("_b"), F.lit(False)).alias("blocked"),
+        )
+    )

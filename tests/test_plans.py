@@ -200,3 +200,13 @@ def test_url_latest_max_struct_no_window(spark):
     assert "partial_max" in plan
     assert "Window" not in plan
     assert "Python" not in plan
+
+
+def test_url_blocklist_broadcast_semi(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_url_blocklist"](spark, SF))
+    # suffix probe is a broadcast semi-join; no cartesian, no Python
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -120,3 +120,25 @@ def test_latest_snapshot_keeps_newest_then_highest_id(spark):
     solo = out["https://solo.net/x"]
     assert solo.kept_id == 5 and solo.kept_ts == 50
     assert out["http://one.org/p"].n_versions == 1
+
+
+def test_url_blocklist_suffix_matching(spark):
+    from dce_spark.functions.urlops import url_blocklist_filter
+
+    rows = [
+        (1, "http://bad.example.net/x"),        # parent listed
+        (2, "http://deep.ads.bad.example.net/y"),  # grandparent listed
+        (3, "http://example.net/z"),            # apex listed? no - only bad.example.net
+        (4, "http://goodsite.org/a"),
+        (5, "http://notbad.example.net.evil.com/b"),  # suffix is evil.com, not listed
+        (6, "no-scheme-url"),                   # host '' -> never blocked
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    bl = spark.createDataFrame([("bad.example.net",)], ["host"])
+    out = {r.doc_id: r for r in url_blocklist_filter(df, bl).collect()}
+    assert out[1].blocked and out[2].blocked
+    assert not out[3].blocked            # listing a subdomain must not
+    assert not out[4].blocked            # block the parent domain
+    assert not out[5].blocked            # substring != suffix
+    assert not out[6].blocked and out[6].host == ""
+    assert len(out) == 6                 # decision table is total
