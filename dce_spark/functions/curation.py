@@ -69,27 +69,43 @@ def curate_corpus(
     # Each corpus-relative gate references the survivor frame several
     # times (shingle side + totalization + the semi-join back), and
     # Spark recomputes the full upstream lineage per reference — the
-    # minhash subtree would re-run 2^stages times. Persisting the
-    # survivor frontier between gates cuts that to once per stage; a
-    # cluster job at 100 TB would checkpoint the survivors to the
-    # warehouse instead (same cut, durable + spillable).
+    # minhash subtree would re-run 2^stages times. Materializing the
+    # survivor frontier between gates (eager localCheckpoint, the
+    # same cut label_components uses) bounds that to once per stage,
+    # and unpersisting the superseded frontier keeps exactly ONE
+    # cached copy of the surviving text alive instead of one per
+    # gate. A cluster job at 100 TB would checkpoint the survivors
+    # to the warehouse instead (same cut, durable + spillable).
+    def _cut(frontier, prev=None):
+        out = frontier.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        return out
+
+    prev = None
     if max_dup_ngram_frac is not None or drop_tail_bucket:
-        g3 = g3.persist()
+        g3 = prev = _cut(g3)
 
     if max_dup_ngram_frac is not None:
         dup = dup_ngram_fraction(g3, k=dup_k,
                                  threshold=max_dup_ngram_frac)
-        g3 = g3.join(
-            dup.filter(~F.col("flagged")).select("doc_id"), "doc_id",
-            "semi",
-        ).persist()
+        g3 = prev = _cut(
+            g3.join(
+                dup.filter(~F.col("flagged")).select("doc_id"),
+                "doc_id", "semi",
+            ),
+            prev,
+        )
 
     if drop_tail_bucket:
         ce = unigram_cross_entropy(g3)
-        g3 = g3.join(
-            ce.filter(F.col("bucket") != "tail").select("doc_id"),
-            "doc_id", "semi",
-        ).persist()
+        g3 = _cut(
+            g3.join(
+                ce.filter(F.col("bucket") != "tail").select("doc_id"),
+                "doc_id", "semi",
+            ),
+            prev,
+        )
 
     # decontamination: drop survivors sharing any k-gram with the
     # benchmark (benchmark members themselves self-hit and drop out)

@@ -175,6 +175,16 @@ def lang_id(documents: DataFrame) -> DataFrame:
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# Gopher gate thresholds (Rae et al. 2021, §A1.1) — module constants so
+# gopher_quality, filter_funnel and the streaming quality gate all read
+# the SAME numbers; tune here, not at one call site
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
 
 def _gopher_signal_cols(col: str = "text"):
     """The four Gopher §A1.1 signal columns over `col` — shared by
@@ -202,12 +212,12 @@ def _gopher_signal_cols(col: str = "text"):
 
 def gopher_quality(
     documents: DataFrame,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    min_alpha_frac: float = 0.8,
-    min_stop_hits: int = 2,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    min_alpha_frac: float = GOPHER_MIN_ALPHA_FRAC,
+    min_stop_hits: int = GOPHER_MIN_STOP_HITS,
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, §A1.1):
     word-count bounds, mean-word-length bounds, fraction of words with
@@ -1473,12 +1483,12 @@ def c4_filter(documents: DataFrame, min_words: int = 5,
 
 def filter_funnel(
     documents: DataFrame,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    min_alpha_frac: float = 0.8,
-    min_stop_hits: int = 2,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    min_alpha_frac: float = GOPHER_MIN_ALPHA_FRAC,
+    min_stop_hits: int = GOPHER_MIN_STOP_HITS,
 ) -> DataFrame:
     """Per-source filter-funnel telemetry: for each Gopher gate, how
     many documents pass it independently AND how many survive the

@@ -188,14 +188,18 @@ def url_blocklist_filter(
     host OR ANY PARENT DOMAIN is listed — ads.tracker.example.com
     matches a blocklist entry 'example.com'.
 
-    Spark shape: the host explodes into its <=~5 dot-suffixes
-    (projection-side, no shuffle of the big side beyond the explode),
-    then ONE semi-join against the blocklist on the suffix key. The
-    blocklist is broadcast here (UT1-size lists, ~10^6-10^7 hosts,
-    fit comfortably); for a larger list drop the hint and AQE falls
-    back to a shuffled hash join on the same key. Output is TOTAL
-    over input rows: (id, host, blocked) — callers keep ~blocked or
-    route blocked rows to a quarantine sink."""
+    Spark shape: ONE scan — the host explodes into its <=~5
+    dot-suffixes projection-side, a broadcast LEFT join marks hits,
+    and one groupBy(id, host) with max(hit) folds the suffixes back
+    (map-side partials; no second read of the input, no join-back
+    shuffle). The blocklist is broadcast (UT1-size lists, ~10^6-10^7
+    hosts, fit comfortably); for a larger list drop the hint and AQE
+    falls back to a shuffled hash join on the same key. Blocklist
+    entries are normalized (lowercase, trailing dot stripped) so a
+    mixed-case list cannot silently never match the lowercased host
+    side. Output is TOTAL over input rows: (id, host, blocked) —
+    callers keep ~blocked or route blocked rows to a quarantine
+    sink."""
     host = url_host_col(F.col(url_col))
     parts = F.split(host, r"\.")
     n = F.size(parts)
@@ -203,27 +207,23 @@ def url_blocklist_filter(
         F.sequence(F.lit(1), n),
         lambda i: F.concat_ws(".", F.slice(parts, i, n)),
     )
-    base = df.select(
+    bl = F.broadcast(
+        blocklist.select(
+            F.rtrim(F.lower(F.col("host")), F.lit(".")).alias("suffix"),
+            F.lit(True).alias("_hit"),
+        ).distinct()
+    )
+    exploded = df.select(
         F.col(id_col).cast("long").alias(id_col),
         host.alias("host"),
-        sufs.alias("_sufs"),
-    )
-    hits = (
-        base.select(id_col, F.explode("_sufs").alias("suffix"))
-        .join(
-            F.broadcast(blocklist.select(F.col("host").alias("suffix"))),
-            "suffix",
-            "semi",
-        )
-        .select(id_col)
-        .distinct()
+        F.explode(sufs).alias("suffix"),
     )
     return (
-        base.select(id_col, "host")
-        .join(hits.withColumn("_b", F.lit(True)), id_col, "left")
-        .select(
-            id_col,
-            "host",
-            F.coalesce(F.col("_b"), F.lit(False)).alias("blocked"),
+        exploded.join(bl, "suffix", "left")
+        .groupBy(id_col, "host")
+        .agg(
+            F.max(F.coalesce(F.col("_hit"), F.lit(False))).alias(
+                "blocked"
+            )
         )
     )

@@ -17,7 +17,7 @@ from dce_spark.spark.schema import PAGES_SCHEMA
 from dce_spark.spark.udf import attach_extraction
 
 
-def _quality_gate(extracted, min_words: int):
+def _quality_gate(extracted, min_words: int | None = None):
     """Stateless in-flight quality gate on the EXTRACTED text: the
     Gopher keep rule (word-count floor, mean-word-length band,
     alphabetic fraction, stopword floor — the shared
@@ -27,24 +27,40 @@ def _quality_gate(extracted, min_words: int):
     in append mode. Failed extractions (status != 'ok') are kept —
     dropping errors would hide ingest problems from the sink's
     monitoring."""
-    from dce_spark.functions.textops import _gopher_signal_cols
+    from dce_spark.functions.textops import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        _gopher_signal_cols,
+    )
 
-    # mode="article" leaves extracted_text null — gate on whichever
-    # text the mode produced (a null column would null the predicate
-    # and silently drop every row)
+    if min_words is None:
+        from dce_spark.functions.textops import GOPHER_MIN_WORDS
+        min_words = GOPHER_MIN_WORDS
+
+    # mode="article" leaves extracted_text EMPTY (extract_page
+    # initializes it to "", not null) — gate on whichever text the
+    # mode actually produced; an empty gate column would fail
+    # min_words for every row and silently drain the stream
+    def _nonempty(c):
+        return F.when(F.length(F.coalesce(F.col(c), F.lit(""))) > 0,
+                      F.col(c))
+
     gated = extracted.withColumn(
         "_gate_text",
-        F.coalesce("extracted_text", "article_text", F.lit("")),
+        F.coalesce(_nonempty("extracted_text"),
+                   _nonempty("article_text"), F.lit("")),
     )
     n_words, mean_word_len, alpha_frac, stop_hits = _gopher_signal_cols(
         "_gate_text"
     )
     keep = (
         (n_words >= min_words)
-        & (mean_word_len >= 3.0)
-        & (mean_word_len <= 10.0)
-        & (alpha_frac >= 0.8)
-        & (stop_hits >= 2)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
     )
     return gated.filter((F.col("status") != "ok") | keep).drop(
         "_gate_text"
@@ -59,7 +75,7 @@ def stream_extract(
     mode: str = "both",
     max_files_per_trigger: int = 16,
     quality_gate: bool = False,
-    min_words: int = 50,
+    min_words: int | None = None,
 ):
     """Start the streaming extraction query; returns StreamingQuery.
 

@@ -163,3 +163,33 @@ def test_stream_quality_gate_filters_junk(spark, tmp_path):
     assert urls == {"https://q.test/rich"}
     # the gate column is internal — the sink schema is unchanged
     assert "_gate_text" not in out.columns
+
+
+def test_stream_quality_gate_article_mode(spark, tmp_path):
+    """mode='article' leaves extracted_text as '' (not null); the gate
+    must fall back to article_text instead of draining the stream."""
+    import datetime as dt
+
+    from dce_spark.spark.schema import PAGES_SCHEMA
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    ts = dt.datetime(2025, 6, 1, 12, 0, 0)
+    body = " ".join(
+        "the quick brown fox and that dog have fun with it".split()
+        * 8
+    )
+    rich = f"<html><body><article><p>{body}</p></article></body></html>"
+    rows = [("https://a.test/art", ts, rich.encode(), None, "en")]
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ck_dir, mode="article",
+                       quality_gate=True, min_words=20)
+    try:
+        _wait_done(q)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 1  # the rich article survives the gate
