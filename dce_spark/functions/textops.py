@@ -1532,3 +1532,90 @@ def filter_funnel(
             F.col("_pw") & F.col("_pl") & F.col("_pa") & F.col("_ps")
         ).alias("surv_all"),
     )
+
+
+def span_dedup(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """C4 three-sentence-span deduplication (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once in the data set") — the sub-document dedup that
+    removes syndicated article bodies and licence blurbs which
+    line-level dedup misses because surrounding lines differ.
+
+    Sentences split on the RE2/Java-common '[.!?] ' boundary (RE2 has
+    no lookbehind, so the terminator is consumed; the rebuilt text
+    joins surviving sentences with ' | ' — this operator feeds dedup
+    decisions and span stats, not byte-preserving reconstruction).
+    A span survives only at its FIRST corpus occurrence ordered by
+    (doc_id, pos); every later occurrence drops its n sentences.
+
+    Plan shape mirrors line_dedup: one span groupBy with a
+    min(struct) partial (map-side combine eats the 10^8-occurrence
+    syndicated span), equi-join back, the duplicate occurrences
+    explode to their covered sentence positions, one anti-join
+    removes them, one groupBy(doc) reassembles with sort_array — no
+    windows anywhere. Total over input docs; a doc with fewer than n
+    sentences has no spans and passes through unchanged."""
+    arr = F.split(F.col(text_col), r"[.!?] ")
+    m = F.size(arr)
+    span_struct = f"array<struct<pos:int,span:string>>"
+    spans_arr = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.struct(
+                (i - 1).alias("pos"),
+                F.concat_ws(" | ", F.slice(arr, i, n)).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast(span_struct))
+    spans = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(spans_arr).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"),
+             F.col("s.span").alias("span"))
+    first_owner = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    covered = (
+        spans.join(first_owner, "span")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("spos"),
+        )
+        .distinct()
+    )
+    sentences = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(arr).alias("spos", "sent"),
+    )
+    kept = sentences.join(covered, ["doc_id", "spos"], "anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spos", "sent"))),
+                lambda x: x["sent"],
+            ),
+            " | ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        m.alias("n_sentences"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+    )

@@ -210,3 +210,15 @@ def test_url_blocklist_broadcast_semi(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_span_dedup_partial_min_no_window(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_span_dedup"](spark, SF))
+    # first-owner table forms with a map-side min(struct) partial;
+    # reassembly is an aggregate sort_array, never a Window
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan

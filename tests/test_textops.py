@@ -985,3 +985,42 @@ def test_filter_funnel_counts(spark):
     # funnel is monotone: each stage can only shrink
     for r in (a, b):
         assert r.pass_words >= r.surv_wordlen >= r.surv_alpha >= r.surv_all
+
+
+def test_span_dedup_first_owner_and_coverage(spark):
+    shared = "One shared sentence. Two shared sentence. Three shared sentence. "
+    rows = [
+        (1, shared + "unique tail for one", "en", "s", 0),
+        (2, shared + "unique tail for two", "en", "s", 0),
+        (3, "Too short. Only two sentences here", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in textops.span_dedup(docs, n=3).collect()}
+    # doc 1 owns the shared triple: everything survives
+    assert out[1].n_sentences == 4 and out[1].n_kept == 4
+    assert out[1].text_dedup == (
+        "One shared sentence | Two shared sentence"
+        " | Three shared sentence | unique tail for one"
+    )
+    # doc 2: the duplicated span drops its 3 sentences; the unique
+    # tail survives (its own spans overlap dropped sentences, but
+    # sentence-level removal only covers duplicated-span positions)
+    assert out[2].n_kept == 1
+    assert out[2].text_dedup == "unique tail for two"
+    # fewer than n sentences -> no spans -> untouched
+    assert out[3].n_kept == 2 and out[3].n_sentences == 2
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    # the same triple twice inside ONE document: the second
+    # occurrence (positions 3-5) is dropped, the first kept
+    tri = "Aa aa. Bb bb. Cc cc. "
+    rows = [(1, tri + tri + "tail end", "en", "s", 0)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    r = textops.span_dedup(docs, n=3).collect()[0]
+    assert r.n_sentences == 7
+    assert r.text_dedup == "Aa aa | Bb bb | Cc cc | tail end"
