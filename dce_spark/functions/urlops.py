@@ -227,3 +227,56 @@ def url_blocklist_filter(
             )
         )
     )
+
+
+def robots_filter(
+    df: DataFrame, rules: DataFrame, id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-exclusion (REP, RFC 9309) rule evaluation for a crawl
+    frontier: `rules` holds one row per (host, allow, prefix) — the
+    already-parsed Allow/Disallow lines for the crawler's user-agent
+    (empty-prefix Disallow lines mean "no restriction" per the RFC
+    and must be dropped upstream). A URL's verdict is the MOST
+    SPECIFIC (longest-prefix) matching rule; on a length tie Allow
+    wins; no matching rule means allowed.
+
+    The argmax is a plain integer max: score = 2*len(prefix) + allow,
+    so longer prefixes dominate and the +1 breaks ties toward Allow —
+    one broadcast join on host (robots tables are host-cardinality;
+    drop the hint past ~10^7 hosts), one startswith filter, one
+    map-side-combined groupBy max, one join back for totality. Output
+    (id, host, path, allowed) over ALL input rows."""
+    host = url_host_col(F.col(url_col))
+    raw_path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)?$", 1
+    )
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        host.alias("host"),
+        path.alias("path"),
+    )
+    rl = F.broadcast(
+        rules.select(
+            F.lower(F.col("host")).alias("host"),
+            (
+                F.length("prefix") * 2
+                + F.when(F.col("allow"), 1).otherwise(0)
+            ).cast("long").alias("_score"),
+            F.col("prefix"),
+        )
+    )
+    verdicts = (
+        base.join(rl, "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy(id_col)
+        .agg(F.max("_score").alias("_best"))
+    )
+    return base.join(verdicts, id_col, "left").select(
+        id_col,
+        "host",
+        "path",
+        F.coalesce(F.pmod(F.col("_best"), F.lit(2)) == 1, F.lit(True))
+        .alias("allowed"),
+    )

@@ -222,3 +222,12 @@ def test_span_dedup_partial_min_no_window(spark):
     assert "Window" not in plan
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_robots_broadcast_rules(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_url_robots"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -142,3 +142,37 @@ def test_url_blocklist_suffix_matching(spark):
     assert not out[5].blocked            # substring != suffix
     assert not out[6].blocked and out[6].host == ""
     assert len(out) == 6                 # decision table is total
+
+
+def test_robots_filter_longest_match_and_ties(spark):
+    from dce_spark.functions.urlops import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("a.test", False, "/private"),
+            ("a.test", True, "/private/ok"),     # longer Allow wins
+            ("a.test", False, "/tie"),
+            ("a.test", True, "/tie"),            # equal length: Allow
+            ("b.test", False, "/"),              # whole host closed
+        ],
+        ["host", "allow", "prefix"],
+    )
+    rows = [
+        (1, "http://a.test/private/secret"),     # disallow /private
+        (2, "http://a.test/private/ok/page"),    # allow overrides
+        (3, "http://a.test/tie/x"),              # tie -> allow
+        (4, "http://a.test/open"),               # no rule matches
+        (5, "http://A.TEST/private/y"),          # host case-folded
+        (6, "http://b.test"),                    # no path -> '/'
+        (7, "http://unlisted.net/whatever"),     # host without rules
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r.doc_id: r for r in robots_filter(df, rules).collect()}
+    assert not out[1].allowed
+    assert out[2].allowed
+    assert out[3].allowed
+    assert out[4].allowed
+    assert not out[5].allowed
+    assert not out[6].allowed and out[6].path == "/"
+    assert out[7].allowed
+    assert len(out) == 7  # verdict table is total
