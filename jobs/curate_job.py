@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Production corpus-curation job for spark-submit.
+
+Usage:
+  spark-submit --py-files dce_spark.zip jobs/curate_job.py \
+      --input  /path/to/documents_parquet \
+      --output /path/to/shards \
+      [--benchmark /path/to/benchmark_parquet] \
+      [--min-tokens 20] [--token-budget 4096] \
+      [--strict] [--max-dup-ngram-frac 0.5]
+
+Runs the composed curation pipeline (quality gate -> exact dedup ->
+MinHash near-dup dedup -> optional strict gates -> benchmark
+decontamination -> token-budget shard packing) and writes the packed
+shard table partitioned by shard id, plus a one-line JSON stats
+summary on stdout (the number a scheduler checks).
+
+Without --benchmark, every 50th document plays the held-out set (the
+demo default from __spark_entry__); in production point it at the
+real eval-suite parquet. --strict enables the corpus-relative gates
+(RefinedWeb duplicate-5-gram cap + CCNet cross-entropy tail drop).
+
+Package the library with (cd repo && zip -qr dce_spark.zip dce_spark)
+and pass it via --py-files, exactly like jobs/extract_job.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--token-budget", type=int, default=4096)
+    ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument("--strict", action="store_true")
+    ap.add_argument("--max-dup-ngram-frac", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from dce_spark.functions.curation import curate_corpus
+    from dce_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="dce-curate")
+    docs = spark.read.parquet(args.input)
+    if args.benchmark:
+        benchmark = spark.read.parquet(args.benchmark)
+    else:
+        benchmark = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+
+    gates = (
+        dict(
+            max_dup_ngram_frac=args.max_dup_ngram_frac,
+            drop_tail_bucket=True,
+        )
+        if args.strict
+        else {}
+    )
+    packed = curate_corpus(
+        docs,
+        benchmark,
+        min_tokens=args.min_tokens,
+        k=args.shingle_k,
+        token_budget=args.token_budget,
+        **gates,
+    )
+    # shard is the natural read unit downstream (one training file per
+    # shard) — partition the sink by it so a trainer reads one
+    # directory per shard without a post-hoc repartition
+    packed.write.mode("overwrite").partitionBy("shard").parquet(
+        args.output
+    )
+
+    out = spark.read.parquet(args.output)
+    stats = out.groupBy().agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.countDistinct("source", "shard").alias("shards"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "docs_in": docs.count(),
+                "docs_out": int(stats["docs"]),
+                "tokens_out": int(stats["tokens"] or 0),
+                "shards": int(stats["shards"]),
+                "strict": bool(args.strict),
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

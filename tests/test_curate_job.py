@@ -1,0 +1,36 @@
+"""jobs/curate_job.py: the spark-submit curation CLI, smoke-driven as
+a subprocess (own SparkSession, real parquet sink)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def test_curate_job_cli_strict(tmp_path):
+    repo = Path(__file__).resolve().parent.parent
+    out_dir = tmp_path / "shards"
+    r = subprocess.run(
+        [
+            sys.executable, "jobs/curate_job.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out_dir),
+            "--strict",
+        ],
+        capture_output=True,
+        cwd=repo,
+        timeout=600,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["docs_in"] == 500
+    # strict run at sf0.001 keeps the 151 survivors the oracle pins
+    assert stats["docs_out"] == 151
+    assert stats["strict"] is True and stats["tokens_out"] > 0
+    # sink is partitioned by shard id
+    assert any(p.name.startswith("shard=") for p in out_dir.iterdir())
