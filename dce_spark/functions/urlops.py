@@ -280,3 +280,41 @@ def robots_filter(
         F.coalesce(F.pmod(F.col("_best"), F.lit(2)) == 1, F.lit(True))
         .alias("allowed"),
     )
+
+
+def host_link_edges(
+    df: DataFrame, url_col: str = "url", links_col: str = "links"
+) -> DataFrame:
+    """Host-level web-graph edge list from extracted page links (the
+    pipeline's `content_links` column): one (src_host, dst_host) edge
+    row per link with a count — the primitive behind domain authority
+    signals, spam-cluster detection, and crawl frontier expansion.
+    Scheme-less (relative) links stay on the source host and count as
+    internal.
+
+    Shape: two host projections + one explode + one groupBy on the
+    (src, dst) pair — map-side partials absorb the within-page
+    repetition (nav bars emit the same edge hundreds of times per
+    page), so the shuffle carries one row per page-edge, not per
+    anchor. Linear at 10^12 pages."""
+    src = url_host_col(F.col(url_col))
+    edges = df.select(
+        src.alias("src_host"),
+        F.explode(F.col(links_col)).alias("_dst"),
+    ).select(
+        "src_host",
+        F.coalesce(
+            F.nullif(url_host_col(F.col("_dst")), F.lit("")),
+            F.col("src_host"),
+        ).alias("dst_host"),
+    )
+    return (
+        edges.groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+        .select(
+            "src_host",
+            "dst_host",
+            "n_links",
+            (F.col("src_host") == F.col("dst_host")).alias("internal"),
+        )
+    )

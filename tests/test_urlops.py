@@ -176,3 +176,47 @@ def test_robots_filter_longest_match_and_ties(spark):
     assert not out[6].allowed and out[6].path == "/"
     assert out[7].allowed
     assert len(out) == 7  # verdict table is total
+
+
+def test_host_link_edges_internal_and_relative(spark):
+    from dce_spark.functions.urlops import host_link_edges
+
+    rows = [
+        (1, "http://a.test/p1",
+         ["http://b.test/x", "/relative/nav", "http://a.test/self",
+          "http://b.test/y"]),
+        (2, "http://a.test/p2", ["HTTPS://B.TEST/z"]),  # case-folded
+        (3, "http://c.test/p", []),                     # no links
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "links"])
+    out = {(r.src_host, r.dst_host): r
+           for r in host_link_edges(df).collect()}
+    # a.test -> b.test: 2 from page 1 + 1 case-folded from page 2
+    assert out[("a.test", "b.test")].n_links == 3
+    assert not out[("a.test", "b.test")].internal
+    # relative link + explicit self-link both stay on a.test
+    assert out[("a.test", "a.test")].n_links == 2
+    assert out[("a.test", "a.test")].internal
+    # a page with no links contributes no edges
+    assert not any(s == "c.test" for s, _ in out)
+
+
+def test_host_link_edges_composes_with_extraction(spark):
+    """The operator runs directly on the extraction pipeline's output
+    (content_links) — the real producer of the links column."""
+    from dce_spark.functions.urlops import host_link_edges
+    from dce_spark.spark.corpus import build_pages_df
+    from dce_spark.spark.udf import attach_extraction
+
+    pages = build_pages_df(spark, n_synthetic=6, include_fixtures=False,
+                           partitions=2)
+    extracted = attach_extraction(pages, mode="both")
+    edges = host_link_edges(
+        extracted.filter("content_links is not null"),
+        links_col="content_links",
+    )
+    # runs and returns the edge schema; synthetic pages may or may
+    # not contain anchors, so assert shape rather than counts
+    assert edges.columns == ["src_host", "dst_host", "n_links",
+                             "internal"]
+    edges.collect()
