@@ -1,0 +1,83 @@
+"""Host-graph analytics over the link-edge list.
+
+host_link_edges (urlops) produces the web graph's edge list; this
+module ranks it. PageRank here is INTEGER fixed-point on purpose:
+floating-point PageRank sums are ordering-dependent (different
+partitionings give different low bits, and cross-engine parity is
+unprovable), while micro-unit BIGINT arithmetic with per-edge
+truncating division is associative and bit-exact on every engine and
+partitioning — the same determinism discipline as
+textops.unigram_cross_entropy. The DuckDB oracle unrolls the same
+iterations and matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RANK_UNIT = 1_000_000  # 1.0 in micro-units
+
+
+def host_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_micro: int = 850_000,
+    include_internal: bool = False,
+) -> DataFrame:
+    """Weighted PageRank over (src_host, dst_host, n_links) edges in
+    micro-unit integers: r'(v) = (1e6 - d) + d * sum_u((r(u) *
+    w_uv) div outdeg(u)) div 1e6, starting from r0 = 1e6. Self/
+    internal edges are dropped by default (intra-site nav links would
+    otherwise dominate inter-site authority); dangling-node mass is
+    not redistributed (the standard simplification — ranks are
+    relative signals, not probabilities).
+
+    Scale shape per iteration: one join of the edge list with the
+    rank vector on src (both shuffled on host), one groupBy(dst) sum
+    with map-side partials, one left join back to the node set for
+    the teleport base. Each iteration localCheckpoints (the
+    label_components pattern) so K iterations cost K fixed plans, not
+    an exponentially deep lineage. Overflow headroom: ranks stay
+    ~1e6-scale micro-units, so the damped sum fits BIGINT up to
+    ~10^12 nodes; beyond that move the accumulator to DECIMAL(38,0).
+    """
+    e = edges
+    if include_internal is False:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    e = e.select("src_host", "dst_host",
+                 F.col("n_links").cast("long").alias("w"))
+    nodes = (
+        e.select(F.col("src_host").alias("host"))
+        .unionByName(e.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src_host").agg(F.sum("w").alias("od"))
+    ew = e.join(outdeg, "src_host")
+
+    base = F.lit(RANK_UNIT - damping_micro).cast("long")
+    ranks = nodes.withColumn("r", F.lit(RANK_UNIT).cast("long"))
+    for _ in range(iterations):
+        inc = (
+            ew.join(ranks, ew.src_host == ranks.host)
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(r * w) div od").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc, "host", "left")
+            .select(
+                "host",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_micro} * coalesce(inc, 0))"
+                        f" div {RANK_UNIT}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("host", F.col("r").alias("rank_micro"))
