@@ -41,21 +41,29 @@ def host_pagerank(
     ~1e6-scale micro-units, so the damped sum fits BIGINT up to
     ~10^12 nodes; beyond that move the accumulator to DECIMAL(38,0).
     """
+    # the node set comes from the UNFILTERED edges: a host whose links
+    # are all internal must still get its teleport-base row, or the
+    # output is not total over input hosts
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     e = edges
-    if include_internal is False:
+    if not include_internal:
         e = e.filter(F.col("src_host") != F.col("dst_host"))
     e = e.select("src_host", "dst_host",
                  F.col("n_links").cast("long").alias("w"))
-    nodes = (
-        e.select(F.col("src_host").alias("host"))
-        .unionByName(e.select(F.col("dst_host").alias("host")))
-        .distinct()
-    )
     outdeg = e.groupBy("src_host").agg(F.sum("w").alias("od"))
-    ew = e.join(outdeg, "src_host")
+    # checkpoint the weighted edge list once: each iteration reuses
+    # the materialized copy instead of re-deriving the outdeg shuffle
+    # from the source K times
+    ew = e.join(outdeg, "src_host").localCheckpoint(eager=False)
 
     base = F.lit(RANK_UNIT - damping_micro).cast("long")
     ranks = nodes.withColumn("r", F.lit(RANK_UNIT).cast("long"))
+    prev = None
     for _ in range(iterations):
         inc = (
             ew.join(ranks, ew.src_host == ranks.host)
@@ -66,7 +74,7 @@ def host_pagerank(
             .groupBy("host")
             .agg(F.sum("contrib").alias("inc"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(inc, "host", "left")
             .select(
                 "host",
@@ -78,6 +86,11 @@ def host_pagerank(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        # the superseded rank checkpoint is dead once the new one is
+        # materialized — release its block-manager storage
+        if prev is not None:
+            prev.unpersist()
+        ranks, prev = new_ranks, new_ranks
     return ranks.select("host", F.col("r").alias("rank_micro"))

@@ -43,7 +43,7 @@ def main() -> None:
     ap.add_argument("--token-budget", type=int, default=4096)
     ap.add_argument("--shingle-k", type=int, default=3)
     ap.add_argument("--strict", action="store_true")
-    ap.add_argument("--max-dup-ngram-frac", type=float, default=0.5)
+    ap.add_argument("--max-dup-ngram-frac", type=float, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -58,22 +58,22 @@ def main() -> None:
     else:
         benchmark = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
 
-    gates = (
-        dict(
-            max_dup_ngram_frac=args.max_dup_ngram_frac,
-            drop_tail_bucket=True,
-        )
-        if args.strict
-        else {}
-    )
+    # an explicit --max-dup-ngram-frac enables the dup gate on its
+    # own (a silently-ignored flag would ship an unfiltered corpus
+    # the operator believes was gated); --strict enables both gates
+    # with the default cap
+    dup_cap = args.max_dup_ngram_frac
+    if dup_cap is None and args.strict:
+        dup_cap = 0.5
     packed = curate_corpus(
         docs,
         benchmark,
         min_tokens=args.min_tokens,
         k=args.shingle_k,
         token_budget=args.token_budget,
-        **gates,
-    )
+        max_dup_ngram_frac=dup_cap,
+        drop_tail_bucket=args.strict,
+    ).persist()
     # shard is the natural read unit downstream (one training file per
     # shard) — partition the sink by it so a trainer reads one
     # directory per shard without a post-hoc repartition
@@ -81,8 +81,11 @@ def main() -> None:
         args.output
     )
 
-    out = spark.read.parquet(args.output)
-    stats = out.groupBy().agg(
+    # stats from the persisted frame, not a read-back of the sink: a
+    # legitimately-empty run writes no part files and
+    # spark.read.parquet would fail schema inference instead of
+    # reporting docs_out=0
+    stats = packed.groupBy().agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.countDistinct("source", "shard").alias("shards"),

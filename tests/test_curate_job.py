@@ -34,3 +34,21 @@ def test_curate_job_cli_strict(tmp_path):
     assert stats["strict"] is True and stats["tokens_out"] > 0
     # sink is partitioned by shard id
     assert any(p.name.startswith("shard=") for p in out_dir.iterdir())
+
+
+def test_curate_job_empty_output_reports_zero(tmp_path):
+    """A gate that removes everything must still print stats with
+    docs_out=0, not crash on the empty-sink read."""
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [
+            sys.executable, "jobs/curate_job.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(tmp_path / "empty"),
+            "--min-tokens", "100000",
+        ],
+        capture_output=True, cwd=repo, timeout=600, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["docs_out"] == 0 and stats["tokens_out"] == 0

@@ -50,3 +50,16 @@ def test_pagerank_partitioning_independent(spark):
            for r in host_pagerank(e.repartition(13)).collect()}
     # integer arithmetic: bit-identical under any partitioning
     assert r1 == r13
+
+
+def test_pagerank_total_over_all_internal_hosts(spark):
+    # a host whose only edges are internal must still appear with the
+    # teleport-base rank, and so must a normal pair
+    rows = [
+        ("island.net", "island.net", 50),   # all-internal host
+        ("a.net", "b.net", 1),
+    ]
+    out = {r.host: r.rank_micro
+           for r in host_pagerank(_edges(spark, rows)).collect()}
+    assert set(out) == {"island.net", "a.net", "b.net"}
+    assert out["island.net"] == RANK_UNIT - 850_000
