@@ -231,3 +231,16 @@ def test_url_robots_broadcast_rules(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_pagerank_plan_no_cartesian(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_host_pagerank"](spark, SF))
+    # per-iteration shape: host-keyed joins + summed contribs; the
+    # edge list is checkpointed (scans appear as ExistingRDD, not a
+    # re-derivation of the whole upstream per iteration)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
