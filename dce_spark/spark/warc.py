@@ -4,14 +4,36 @@ Minimal-but-real WARC/1.0-1.1 reader (ISO 28500): parses record headers,
 keeps ``WARC-Type: response`` records, strips the HTTP response header
 block, and yields (url, warc_ts, html) rows matching PAGES_SCHEMA.
 ``.warc.gz`` in the Common Crawl layout (one gzip member per record) and
-plain ``.warc`` both work — Python's gzip handles concatenated members.
+plain ``.warc`` both work.
+
+Memory discipline (the 100 TB read):
+
+* **Streaming decompression** — gz archives are decoded through
+  ``gzip.GzipFile`` over the raw buffer (concatenated members read
+  transparently), so the several-GB *decompressed* form of a ~1 GB
+  Common-Crawl archive is never materialized; at any instant the task
+  holds the compressed bytes (the binaryFile row), gzip's window, and
+  ONE record payload.
+* **Bounded row batches** — the kernel flushes accumulated rows to an
+  Arrow batch every ``flush_bytes`` of payload (default 64 MB) instead
+  of accumulating an entire archive's records into one Python list, so
+  peak kernel memory is compressed-row + flush budget, independent of
+  archive size.
 
 Distributed shape: Spark's binaryFile source lists/reads the archives
-(one task per file — WARC's gzip-member framing is not block-splittable,
+(one row per file — WARC's gzip-member framing is not block-splittable,
 so parallelism comes from the many-files layout Common Crawl already
 has: ~1 GB per archive, tens of thousands of archives per crawl), and a
-mapInPandas kernel parses records. For 100 TB the only knob that matters
-is file count >= cluster cores, which the crawl layout satisfies.
+mapInPandas kernel parses records. Knobs that matter at 100 TB:
+
+* file count >= cluster cores (the crawl layout satisfies this);
+* binaryFile caps individual files at 2 GB (Spark's byte-array row
+  limit) — standard crawl archives are ~1 GB compressed, under the cap;
+  re-shard anything bigger upstream;
+* files-per-task packing is governed by
+  ``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes`` — leave
+  maxPartitionBytes at/below the archive size so each task owns one
+  archive and the flush budget is the only per-task buffer.
 """
 
 from __future__ import annotations
@@ -24,6 +46,8 @@ from collections.abc import Iterator
 __all__ = ["iter_warc_records", "read_warc"]
 
 _CRLF = b"\r\n"
+
+DEFAULT_FLUSH_BYTES = 64 << 20
 
 
 def _read_headers(stream) -> dict[bytes, bytes] | None:
@@ -56,52 +80,89 @@ def _strip_http_headers(payload: bytes) -> bytes:
     return payload
 
 
-def iter_warc_records(raw: bytes) -> Iterator[dict]:
-    """Yield response records from WARC bytes (gz or plain).
+def iter_warc_records(raw) -> Iterator[dict]:
+    """Yield response records from WARC bytes or a binary stream
+    (gz or plain).
 
+    Gz input is decompressed *incrementally* — records already parsed
+    are yielded even when a later member is truncated or corrupt.
     Total: framing damage ends iteration instead of raising — at crawl
     scale truncated archives are routine and must cost rows, not jobs.
     """
-    if raw[:2] == b"\x1f\x8b":
-        try:
-            raw = gzip.decompress(raw)  # concatenated members supported
-        except (OSError, EOFError):
-            return
-    stream = io.BytesIO(raw)
-    while True:
-        headers = _read_headers(stream)
-        if headers is None:
-            return
-        try:
-            length = int(headers.get(b"content-length", b"0"))
-        except ValueError:
-            return
-        payload = stream.read(length)
-        if len(payload) < length:
-            return  # truncated archive: stop cleanly
-        if headers.get(b"warc-type") == b"response":
-            url = headers.get(b"warc-target-uri", b"").decode(
-                "utf-8", errors="replace"
-            )
-            ts = None
-            date = headers.get(b"warc-date")
-            if date:
-                try:
-                    ts = _dt.datetime.fromisoformat(
-                        date.decode("ascii").replace("Z", "+00:00")
-                    ).replace(tzinfo=None)
-                except ValueError:
-                    ts = None
-            yield {
-                "url": url,
-                "warc_ts": ts,
-                "html": _strip_http_headers(payload),
-            }
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        raw = io.BytesIO(bytes(raw))
+    buffered = io.BufferedReader(raw)
+    magic = buffered.peek(2)[:2]
+    stream = (
+        gzip.GzipFile(fileobj=buffered) if magic == b"\x1f\x8b" else buffered
+    )
+    try:
+        while True:
+            headers = _read_headers(stream)
+            if headers is None:
+                return
+            try:
+                length = int(headers.get(b"content-length", b"0"))
+            except ValueError:
+                return
+            payload = stream.read(length)
+            if len(payload) < length:
+                return  # truncated archive: stop cleanly
+            if headers.get(b"warc-type") == b"response":
+                url = headers.get(b"warc-target-uri", b"").decode(
+                    "utf-8", errors="replace"
+                )
+                ts = None
+                date = headers.get(b"warc-date")
+                if date:
+                    try:
+                        ts = _dt.datetime.fromisoformat(
+                            date.decode("ascii").replace("Z", "+00:00")
+                        ).replace(tzinfo=None)
+                    except ValueError:
+                        ts = None
+                yield {
+                    "url": url,
+                    "warc_ts": ts,
+                    "html": _strip_http_headers(payload),
+                }
+    except (OSError, EOFError):
+        # BadGzipFile (a corrupt/garbage member) or a member cut mid-
+        # stream: everything decoded so far has been yielded; stop.
+        return
 
 
-def read_warc(spark, path: str):
+def _record_batches(
+    content, flush_bytes: int = DEFAULT_FLUSH_BYTES
+) -> Iterator[list[tuple]]:
+    """Parse one archive into row batches of bounded payload size.
+
+    Yields lists of (url, warc_ts, html, None, None) tuples; a batch is
+    flushed as soon as its accumulated html bytes reach ``flush_bytes``,
+    so the caller's peak buffer is O(flush_bytes + one record), not
+    O(archive). Split out from the Spark kernel so the bound is unit-
+    testable without an executor.
+    """
+    rows: list[tuple] = []
+    pending = 0
+    for r in iter_warc_records(content):
+        rows.append((r["url"], r["warc_ts"], r["html"], None, None))
+        pending += len(r["html"])
+        if pending >= flush_bytes:
+            yield rows
+            rows, pending = [], 0
+    if rows:
+        yield rows
+
+
+def read_warc(spark, path: str, flush_bytes: int = DEFAULT_FLUSH_BYTES):
     """WARC archive(s) -> pages DataFrame (url, warc_ts, html, text,
-    lang) via binaryFile scan + Arrow-batched record parsing."""
+    lang) via binaryFile scan + Arrow-batched streaming record parsing.
+
+    ``flush_bytes`` bounds the parser's in-flight row buffer per task
+    (see module doc); the downstream extraction kernel re-chunks by its
+    own byte budget, so the two bounds compose.
+    """
     import pandas as pd
 
     from dce_spark.spark.schema import PAGES_SCHEMA
@@ -109,17 +170,14 @@ def read_warc(spark, path: str):
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
+    cols = ["url", "warc_ts", "html", "text", "lang"]
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
             for rec in pdf.itertuples(index=False):
-                for r in iter_warc_records(bytes(rec.content)):
-                    rows.append(
-                        (r["url"], r["warc_ts"], r["html"], None, None)
-                    )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+                for rows in _record_batches(
+                    io.BytesIO(bytes(rec.content)), flush_bytes
+                ):
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(kernel, PAGES_SCHEMA)

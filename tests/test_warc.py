@@ -55,6 +55,40 @@ def test_gzip_member_per_record():
     assert all(r["html"] == HTML1 for r in recs)
 
 
+def test_gzip_truncated_member_keeps_earlier_members():
+    # streaming decode: records from complete members survive a final
+    # member cut mid-stream (crawl-scale truncation costs rows, not jobs)
+    good = b"".join(
+        gzip.compress(make_record(f"https://w.test/{i}", HTML1))
+        for i in range(2)
+    )
+    bad = gzip.compress(make_record("https://w.test/cut", HTML2))
+    recs = list(iter_warc_records(good + bad[: len(bad) // 2]))
+    assert [r["url"] for r in recs] == ["https://w.test/0", "https://w.test/1"]
+
+
+def test_record_batches_bounded():
+    # one archive, many records, tiny flush budget -> multiple batches,
+    # each bounded by budget + one record, union byte-identical
+    from dce_spark.spark.warc import _record_batches
+
+    n, body = 40, HTML1 * 20  # ~1.2 KB per record
+    raw = b"".join(make_record(f"https://w.test/{i}", body) for i in range(n))
+    budget = 4 * len(body)
+    batches = list(_record_batches(raw, flush_bytes=budget))
+    assert len(batches) > 5  # genuinely chunked
+    for rows in batches:
+        payload = sum(len(r[2]) for r in rows)
+        assert payload <= budget + len(body)  # bound: budget + 1 record
+    flat = [r for rows in batches for r in rows]
+    unbounded = [
+        (r["url"], r["warc_ts"], r["html"], None, None)
+        for r in iter_warc_records(raw)
+    ]
+    assert flat == unbounded
+    assert len(flat) == n
+
+
 def test_truncated_archive_is_total():
     raw = make_warc()
     for cut in (10, len(raw) // 2, len(raw) - 3):
@@ -73,7 +107,8 @@ def test_read_warc_into_extraction(spark, tmp_path):
     (tmp_path / "a.warc").write_bytes(make_warc())
     (tmp_path / "b.warc.gz").write_bytes(gzip.compress(
         make_record("https://w.test/gz", HTML1)))
-    pages = read_warc(spark, str(tmp_path))
+    # tiny flush budget: exercises the multi-batch kernel path end-to-end
+    pages = read_warc(spark, str(tmp_path), flush_bytes=16)
     out = {r.url: r for r in extract_pages(pages).collect()}
     assert set(out) == {"https://w.test/1", "https://w.test/2",
                         "https://w.test/gz"}
