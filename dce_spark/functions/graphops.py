@@ -20,17 +20,34 @@ RANK_UNIT = 1_000_000  # 1.0 in micro-units
 
 def host_pagerank(
     edges: DataFrame,
-    iterations: int = 3,
+    iterations: int | None = 3,
     damping_micro: int = 850_000,
     include_internal: bool = False,
+    epsilon_micro: int = 1,
+    max_iterations: int = 100,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over (src_host, dst_host, n_links) edges in
     micro-unit integers: r'(v) = (1e6 - d) + d * sum_u((r(u) *
     w_uv) div outdeg(u)) div 1e6, starting from r0 = 1e6. Self/
     internal edges are dropped by default (intra-site nav links would
-    otherwise dominate inter-site authority); dangling-node mass is
-    not redistributed (the standard simplification — ranks are
-    relative signals, not probabilities).
+    otherwise dominate inter-site authority).
+
+    ``iterations=None`` iterates to a fixed point instead: stop when
+    max_v |r'(v) - r(v)| <= ``epsilon_micro`` (an integer micro-unit
+    bound — exact, no float tolerance), capped at ``max_iterations``.
+    The convergence probe is one scalar aggregate per iteration over
+    the already-materialized rank checkpoints, the same driver-bounded
+    pattern as label_components' limit(1).count().
+
+    ``redistribute_dangling=True`` adds the classic dangling-mass
+    correction: each iteration, the rank mass sitting on hosts with no
+    (retained) out-edges is summed (one scalar agg) and every node
+    receives ``dangling_mass div n_nodes`` extra incoming mass before
+    damping. Truncating integer division keeps it bit-exact and
+    partition-independent; mass is conserved up to n_nodes micro-unit
+    remainders (documented, deterministic). Default stays off — ranks
+    as relative signals, matching the fixed-iteration oracle.
 
     Scale shape per iteration: one join of the edge list with the
     rank vector on src (both shuffled on host), one groupBy(dst) sum
@@ -63,8 +80,26 @@ def host_pagerank(
 
     base = F.lit(RANK_UNIT - damping_micro).cast("long")
     ranks = nodes.withColumn("r", F.lit(RANK_UNIT).cast("long"))
+    n_nodes = nodes.count() if redistribute_dangling else 0
+    dangling = (
+        nodes.join(ew.select("src_host").distinct(),
+                   nodes.host == F.col("src_host"), "left_anti")
+        .localCheckpoint(eager=False)
+        if redistribute_dangling else None
+    )
+    converge = iterations is None
+    n_iter = max_iterations if converge else iterations
     prev = None
-    for _ in range(iterations):
+    for _ in range(n_iter):
+        share = 0
+        if redistribute_dangling and n_nodes:
+            # scalar agg: rank mass parked on out-degree-0 hosts this
+            # iteration, split evenly (truncating) across all nodes
+            mass = (
+                ranks.join(dangling, "host").agg(F.sum("r")).first()[0]
+                or 0
+            )
+            share = mass // n_nodes
         inc = (
             ew.join(ranks, ew.src_host == ranks.host)
             .select(
@@ -81,16 +116,25 @@ def host_pagerank(
                 (
                     base
                     + F.expr(
-                        f"({damping_micro} * coalesce(inc, 0))"
-                        f" div {RANK_UNIT}"
+                        f"({damping_micro} * (coalesce(inc, 0)"
+                        f" + {share})) div {RANK_UNIT}"
                     )
                 ).cast("long").alias("r"),
             )
             .localCheckpoint(eager=True)
         )
+        if converge:
+            delta = (
+                new_ranks.withColumnRenamed("r", "rn")
+                .join(ranks.withColumnRenamed("r", "ro"), "host")
+                .agg(F.max(F.abs(F.col("rn") - F.col("ro"))))
+                .first()[0]
+            )
         # the superseded rank checkpoint is dead once the new one is
         # materialized — release its block-manager storage
         if prev is not None:
             prev.unpersist()
         ranks, prev = new_ranks, new_ranks
+        if converge and (delta is None or delta <= epsilon_micro):
+            break
     return ranks.select("host", F.col("r").alias("rank_micro"))
