@@ -1071,11 +1071,14 @@ def line_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     Plan shape: posexplode -> one groupBy(line) with a min(struct)
     partial aggregate (the first-owner table; map-side combine eats
     the heavy hitters, so a banner line occurring 10^8 times ships one
-    row per map task, not 10^8 shuffle rows) -> equi-join back on line
-    -> one groupBy(doc_id) reassembly with sort_array (no window, no
-    per-doc ordering shuffle beyond the agg itself). Total over the
-    input: a document whose every line is owned elsewhere comes back
-    with text_dedup = ''.
+    row per map task, not 10^8 shuffle rows) -> one groupBy(doc_id)
+    reassembly with sort_array (no window, no per-doc ordering shuffle
+    beyond the agg itself). There is NO join back on the line key: the
+    min(struct(doc_id, pos)) winner rows ARE the kept occurrences, so
+    the kept set is a pure projection of the aggregate — the Zipf-head
+    banner line can never concentrate a join partition because no
+    line-keyed join exists. Total over the input: a document whose
+    every line is owned elsewhere comes back with text_dedup = ''.
     """
     lines = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1089,13 +1092,14 @@ def line_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     first_owner = content.groupBy("line").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
+    # (doc_id, pos) identifies exactly one line, so projecting the
+    # winner struct reconstructs the kept occurrence — no join back
     kept = (
-        content.join(first_owner, "line")
-        .filter(
-            (F.col("doc_id") == F.col("first.doc_id"))
-            & (F.col("pos") == F.col("first.pos"))
+        first_owner.select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.pos").alias("pos"),
+            "line",
         )
-        .select("doc_id", "pos", "line")
         .unionByName(lines.filter(blank).select("doc_id", "pos", "line"))
     )
     rebuilt = kept.groupBy("doc_id").agg(
@@ -1374,19 +1378,34 @@ def dup_ngram_fraction(
     _shingles) -> one groupBy on the shingle key for document
     frequency (map-side partials; Zipf head is the hot key but the
     agg is a count, not a pair join — no d^2 blowup, unlike
-    ngram_jaccard which needs the df cap) -> join back on shingle ->
-    per-doc integer agg -> left join for totality over input docs
-    (docs shorter than k words have no shingles, frac 0)."""
+    ngram_jaccard which needs the df cap). There is NO join back on
+    the shingle key: a shingle with df == 1 occurs in exactly one
+    document, so min(doc_id) in the same aggregate names its sole
+    owner, and a doc's duplicated-shingle count is just
+    n_ngrams - (its unique-shingle count) — both per-doc aggregates
+    keyed on doc_id, whose multiplicity is bounded by document length,
+    never by corpus-wide shingle popularity. Final left join for
+    totality over input docs (docs shorter than k words have no
+    shingles, frac 0)."""
     sh = shingle_table(documents, k)
-    df_counts = sh.groupBy("shingle").agg(
-        F.count("*").cast("long").alias("_df")
+    uniq_per_doc = (
+        sh.groupBy("shingle")
+        .agg(
+            F.count("*").cast("long").alias("_df"),
+            F.min("doc_id").alias("_owner"),
+        )
+        .filter(F.col("_df") == 1)
+        .groupBy(F.col("_owner").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("_n_uniq"))
     )
     per_doc = (
-        sh.join(df_counts, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_ngrams"),
-            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+        sh.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_ngrams"))
+        .join(uniq_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            (F.col("n_ngrams") - F.coalesce(F.col("_n_uniq"), F.lit(0)))
             .cast("long")
             .alias("_n_dup"),
         )
@@ -1535,7 +1554,8 @@ def filter_funnel(
 
 
 def span_dedup(
-    documents: DataFrame, n: int = 3, text_col: str = "text"
+    documents: DataFrame, n: int = 3, text_col: str = "text",
+    hot_min_count: int = 1024, hot_max_keys: int = 100_000,
 ) -> DataFrame:
     """C4 three-sentence-span deduplication (Raffel et al. 2020 §2.2:
     "we discarded all but one of any three-sentence span occurring
@@ -1550,13 +1570,23 @@ def span_dedup(
     A span survives only at its FIRST corpus occurrence ordered by
     (doc_id, pos); every later occurrence drops its n sentences.
 
-    Plan shape mirrors line_dedup: one span groupBy with a
-    min(struct) partial (map-side combine eats the 10^8-occurrence
-    syndicated span), equi-join back, the duplicate occurrences
-    explode to their covered sentence positions, one anti-join
-    removes them, one groupBy(doc) reassembles with sort_array — no
-    windows anywhere. Total over input docs; a doc with fewer than n
-    sentences has no spans and passes through unchanged."""
+    Plan shape: one span groupBy with a min(struct) partial (map-side
+    combine eats the 10^8-occurrence syndicated span), then the
+    duplicate occurrences are found with a SKEW-PROOF two-phase
+    join-back — unlike line_dedup, the duplicates themselves are
+    needed here, so the occurrence table must be probed. The heaviest
+    keys (count >= ``hot_min_count``, top ``hot_max_keys`` by count,
+    deterministically ordered) are broadcast, so their occurrences
+    resolve map-side and never enter a shuffled join; everything else
+    goes through the equi-join whose per-key multiplicity is bounded
+    below hot_min_count (or by the hot_max_keys-th hottest count) by
+    construction — no reliance on AQE skew splitting. With no key
+    over the threshold the hot table is empty and the plan degenerates
+    to the plain join. Duplicate occurrences explode to their covered
+    sentence positions, one anti-join removes them, one groupBy(doc)
+    reassembles with sort_array — no windows anywhere. Total over
+    input docs; a doc with fewer than n sentences has no spans and
+    passes through unchanged."""
     arr = F.split(F.col(text_col), r"[.!?] ")
     m = F.size(arr)
     span_struct = f"array<struct<pos:int,span:string>>"
@@ -1576,16 +1606,32 @@ def span_dedup(
     ).select("doc_id", F.col("s.pos").alias("pos"),
              F.col("s.span").alias("span"))
     first_owner = spans.groupBy("span").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    hot = (
+        first_owner.filter(F.col("_n") >= hot_min_count)
+        .orderBy(F.desc("_n"), "span")
+        .limit(hot_max_keys)
+        .select("span", F.col("first").alias("_hot_first"))
+    )
+    not_winner = lambda w: ~(
+        (F.col("doc_id") == w["doc_id"]) & (F.col("pos") == w["pos"])
+    )
+    tagged = spans.join(F.broadcast(hot), "span", "left")
+    hot_dups = tagged.filter(
+        F.col("_hot_first").isNotNull()
+        & not_winner(F.col("_hot_first"))
+    ).select("doc_id", "pos")
+    cold_dups = (
+        tagged.filter(F.col("_hot_first").isNull())
+        .select("doc_id", "pos", "span")
+        .join(first_owner.select("span", "first"), "span")
+        .filter(not_winner(F.col("first")))
+        .select("doc_id", "pos")
     )
     covered = (
-        spans.join(first_owner, "span")
-        .filter(
-            ~(
-                (F.col("doc_id") == F.col("first.doc_id"))
-                & (F.col("pos") == F.col("first.pos"))
-            )
-        )
+        hot_dups.unionByName(cold_dups)
         .select(
             "doc_id",
             F.explode(

@@ -139,6 +139,10 @@ def test_line_dedup_partial_first_owner_agg(spark):
     assert "partial_min" in plan
     assert "Python" not in plan
     assert "Window" not in plan
+    # no join keyed on the line text anywhere: the kept set is a pure
+    # projection of the min(struct) aggregate, so a 10^8-occurrence
+    # banner line cannot concentrate a join partition
+    assert "Join [line#" not in plan
 
 
 def test_url_ops_plans(spark):
@@ -177,6 +181,10 @@ def test_dup_ngrams_plan_no_pair_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
     assert "Python" not in plan
+    # no join keyed on the shingle either: duplicated-shingle counts
+    # derive from unique-shingle ownership (min(doc_id) at df == 1),
+    # so the Zipf-head shingle never concentrates a join partition
+    assert "Join [shingle#" not in plan
 
 
 def test_c4_filter_pure_projection(spark):

@@ -1013,6 +1013,34 @@ def test_span_dedup_first_owner_and_coverage(spark):
     assert out[3].n_kept == 2 and out[3].n_sentences == 2
 
 
+def test_span_dedup_hot_key_split_identical(spark):
+    # one syndicated span in EVERY doc — the Zipf-head case the
+    # two-phase join-back exists for. With the threshold forced low
+    # the heavy key must resolve through the broadcast (hot) path and
+    # produce byte-identical output to the plain-join (cold-only) path.
+    shared = "Alpha beta. Gamma delta. Epsilon zeta. "
+    rows = [
+        (i, shared + f"Tail {i} one. Tail {i} two. Tail {i} three. end",
+         "en", "s", 0)
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    hot = textops.span_dedup(docs, n=3, hot_min_count=2)
+    plain = textops.span_dedup(docs, n=3, hot_min_count=1 << 40)
+    hot_rows = sorted(map(tuple, hot.collect()))
+    assert hot_rows == sorted(map(tuple, plain.collect()))
+    # the shared triple survives only in doc 0
+    kept_shared = [r for r in hot_rows if "Alpha beta" in r[1]]
+    assert len(kept_shared) == 1 and kept_shared[0][0] == 0
+    # hot path genuinely active: the heavy span is served by a
+    # broadcast join, and the cold equi-join never sees a key with
+    # count >= hot_min_count
+    plan = hot._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_span_dedup_within_doc_repeat(spark):
     # the same triple twice inside ONE document: the second
     # occurrence (positions 3-5) is dropped, the first kept
