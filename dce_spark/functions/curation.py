@@ -2,7 +2,11 @@
 pretraining-data job actually runs, built purely from this package's
 Catalyst operators — no Python on any hot path.
 
-    quality gate (token floor)
+    URL hygiene (optional crawl-layer stages, ahead of any text work:
+      canonicalize -> domain blocklist -> robots exclusion ->
+      latest-snapshot dedup — cheap projection/broadcast decisions
+      that shed rows before a byte of text is shuffled)
+      -> quality gate (token floor)
       -> exact dedup            (min doc_id per identical text)
       -> MinHash near-dup dedup (band keeper over the survivors)
       -> benchmark decontamination (drop docs sharing any k-gram with
@@ -28,6 +32,11 @@ from dce_spark.functions.textops import (
     tokens_col,
     unigram_cross_entropy,
 )
+from dce_spark.functions.urlops import (
+    latest_snapshot,
+    robots_filter,
+    url_blocklist_filter,
+)
 
 
 def curate_corpus(
@@ -40,6 +49,11 @@ def curate_corpus(
     max_dup_ngram_frac: float | None = None,
     drop_tail_bucket: bool = False,
     dup_k: int = 5,
+    urls: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
+    robots_rules: DataFrame | None = None,
+    latest_only: bool = False,
+    url_ts_col: str = "ts",
 ) -> DataFrame:
     """Returns the packed shard table (source, doc_id, n_tokens, shard)
     of the curated survivors.
@@ -52,8 +66,62 @@ def curate_corpus(
       fraction exceeds the bound (RefinedWeb-style boilerplate gate)
     * drop_tail_bucket — drop the per-source cross-entropy 'tail'
       quartile (CCNet-style LM quality gate), computed over the
-      dup-gate survivors"""
+      dup-gate survivors
+
+    Optional URL layer — the crawl-hygiene stages that run FIRST, so
+    host-level decisions (projection + broadcast joins, no text
+    shuffled) shed rows before any text gate:
+    * urls — (doc_id, url[, ts]) table; enables the layer
+    * blocklist — (host) suffix-matched domain blocklist drop
+    * robots_rules — (host, allow, prefix) RFC 9309 evaluation; docs
+      whose URL is disallowed are dropped
+    * latest_only — keep only the newest capture (max(ts, doc_id))
+      of each canonical URL, evaluated over the blocklist/robots
+      SURVIVORS — a blocked newer capture must not shadow an older
+      allowed one.
+    Blocklist and robots are per-row decisions, so both are computed
+    against the original URL table and applied as independent
+    semi-joins; only latest-snapshot is order-sensitive."""
     base = documents.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+    def _cut(frontier, prev=None):
+        out = frontier.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        return out
+
+    if urls is not None:
+        surviving = urls.withColumn(
+            "doc_id", F.col("doc_id").cast("long")
+        )
+        if blocklist is not None:
+            ok = url_blocklist_filter(surviving, blocklist)
+            surviving = surviving.join(
+                ok.filter(~F.col("blocked")).select("doc_id"),
+                "doc_id", "semi",
+            )
+        if robots_rules is not None:
+            ok = robots_filter(urls, robots_rules)
+            surviving = surviving.join(
+                ok.filter(F.col("allowed")).select("doc_id"),
+                "doc_id", "semi",
+            )
+        if latest_only:
+            latest = latest_snapshot(
+                surviving, id_col="doc_id", url_col="url",
+                ts_col=url_ts_col,
+            )
+            surviving = surviving.join(
+                latest.select(F.col("kept_id").alias("doc_id")),
+                "doc_id", "semi",
+            )
+        # cut here: the text gates reference their input repeatedly,
+        # and without the checkpoint each reference re-runs the whole
+        # URL decision chain (a cluster job checkpoints survivors to
+        # the warehouse for the same cut)
+        base = _cut(base.join(surviving.select("doc_id"),
+                              "doc_id", "semi"))
+
     gated = base.filter(F.size(tokens_col()) >= min_tokens)
 
     # exact dedup: the smallest doc_id per identical text survives
@@ -70,18 +138,12 @@ def curate_corpus(
     # times (shingle side + totalization + the semi-join back), and
     # Spark recomputes the full upstream lineage per reference — the
     # minhash subtree would re-run 2^stages times. Materializing the
-    # survivor frontier between gates (eager localCheckpoint, the
-    # same cut label_components uses) bounds that to once per stage,
-    # and unpersisting the superseded frontier keeps exactly ONE
-    # cached copy of the surviving text alive instead of one per
+    # survivor frontier between gates (eager localCheckpoint via _cut,
+    # the same cut label_components uses) bounds that to once per
+    # stage, and unpersisting the superseded frontier keeps exactly
+    # ONE cached copy of the surviving text alive instead of one per
     # gate. A cluster job at 100 TB would checkpoint the survivors
     # to the warehouse instead (same cut, durable + spillable).
-    def _cut(frontier, prev=None):
-        out = frontier.localCheckpoint(eager=True)
-        if prev is not None:
-            prev.unpersist()
-        return out
-
     prev = None
     if max_dup_ngram_frac is not None or drop_tail_bucket:
         g3 = prev = _cut(g3)

@@ -910,6 +910,39 @@ def test_c4_filter_rules(spark):
     assert row.n_kept_lines == 3 and row.kept
 
 
+def test_curate_corpus_url_layer(spark):
+    # the crawl-hygiene stages each bite: doc 1 domain-blocked, doc 2
+    # robots-disallowed, doc 3 an older capture of doc 4's canonical
+    # URL (utm + host case collapse), docs 4/5 survive to packing
+    from dce_spark.functions.curation import curate_corpus
+
+    words = lambda tag: " ".join(f"{tag}{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(i, words(t), "en", "s", 0)
+         for i, t in [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://ads.blocked.bad/x", 5),
+            (2, "https://ok.net/private/page", 5),
+            (3, "https://ok.net/story?utm_source=x", 3),
+            (4, "https://OK.net/story", 7),
+            (5, "https://ok.net/fine", 1),
+        ],
+        ["doc_id", "url", "ts"],
+    )
+    bl = spark.createDataFrame([("blocked.bad",)], ["host"])
+    rules = spark.createDataFrame(
+        [("ok.net", False, "/private")], ["host", "allow", "prefix"]
+    )
+    out = curate_corpus(
+        docs, docs.filter(F.col("doc_id") < 0), min_tokens=5,
+        urls=urls, blocklist=bl, robots_rules=rules, latest_only=True,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [4, 5]
+
+
 def test_curate_corpus_strict_gates_bite(spark):
     """The two strict gates must each remove their target class on top
     of the base pipeline: a boilerplate doc built almost entirely from
