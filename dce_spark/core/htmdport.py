@@ -30,7 +30,11 @@ turndown's ``*   `` / ``1.  `` item prefixes, ``* * *`` rules for
 ``<hr>``, ``**`` strong and ``*`` emphasis delimiters. The crate is
 not runnable in this sandbox, so where htmd's default diverges from
 turndown's the choice is documented at the handler; golden fixtures
-(testdata/golden_cetd_markdown.parquet) are recorded from this port.
+(testdata/golden_cetd_markdown.parquet) are recorded from this port,
+and an INDEPENDENT conformance corpus
+(tests/fixtures/markdown_conformance.json — expectations hand-
+transcribed from the documented turndown rule semantics before ever
+running the port) locks the rule table externally.
 """
 
 from __future__ import annotations

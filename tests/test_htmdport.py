@@ -66,6 +66,25 @@ CASES = [
 ]
 
 
+_VECTORS = __import__("json").load(
+    open(__import__("pathlib").Path(__file__).parent
+         / "fixtures" / "markdown_conformance.json")
+)["cases"]
+
+
+@pytest.mark.parametrize(
+    "case", _VECTORS, ids=[c["id"] for c in _VECTORS]
+)
+def test_markdown_conformance_vectors(case):
+    """External conformance corpus: expectations hand-transcribed from
+    the documented turndown default rule semantics (under htmd's
+    option defaults) BEFORE being run against the port — independent
+    of the port's own recorded goldens, so they falsify rule-table
+    bugs the circular goldens cannot (see the fixture's _provenance
+    note)."""
+    assert conv(case["html"]) == case["md"], case["rule"]
+
+
 @pytest.mark.parametrize("html,expected", CASES, ids=range(len(CASES)))
 def test_htmdport_rule_table(html, expected):
     assert conv(html) == expected
