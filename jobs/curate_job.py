@@ -7,13 +7,23 @@ Usage:
       --output /path/to/shards \
       [--benchmark /path/to/benchmark_parquet] \
       [--min-tokens 20] [--token-budget 4096] \
-      [--strict] [--max-dup-ngram-frac 0.5]
+      [--strict] [--max-dup-ngram-frac 0.5] \
+      [--urls /path/to/urls_parquet] [--blocklist /path/to/hosts] \
+      [--robots /path/to/rules_parquet] [--latest-only]
 
-Runs the composed curation pipeline (quality gate -> exact dedup ->
-MinHash near-dup dedup -> optional strict gates -> benchmark
-decontamination -> token-budget shard packing) and writes the packed
-shard table partitioned by shard id, plus a one-line JSON stats
-summary on stdout (the number a scheduler checks).
+Runs the composed curation pipeline (optional URL hygiene layer:
+domain blocklist -> robots exclusion -> latest-snapshot dedup, then
+quality gate -> exact dedup -> MinHash near-dup dedup -> optional
+strict gates -> benchmark decontamination -> token-budget shard
+packing) and writes the packed shard table partitioned by shard id,
+plus a one-line JSON stats summary on stdout (the number a scheduler
+checks).
+
+URL-layer inputs: --urls is a parquet of (doc_id, url[, ts]);
+--blocklist a parquet with a `host` column (suffix-matched);
+--robots a parquet of (host, allow, prefix) RFC 9309 rules;
+--latest-only keeps only the newest (ts, doc_id) capture per
+canonical URL and requires a ts column in --urls.
 
 Without --benchmark, every 50th document plays the held-out set (the
 demo default from __spark_entry__); in production point it at the
@@ -44,7 +54,15 @@ def main() -> None:
     ap.add_argument("--shingle-k", type=int, default=3)
     ap.add_argument("--strict", action="store_true")
     ap.add_argument("--max-dup-ngram-frac", type=float, default=None)
+    ap.add_argument("--urls", default=None)
+    ap.add_argument("--blocklist", default=None)
+    ap.add_argument("--robots", default=None)
+    ap.add_argument("--latest-only", action="store_true")
     args = ap.parse_args()
+    if args.urls is None and (
+        args.blocklist or args.robots or args.latest_only
+    ):
+        ap.error("--blocklist/--robots/--latest-only require --urls")
 
     from pyspark.sql import functions as F
 
@@ -73,6 +91,15 @@ def main() -> None:
         token_budget=args.token_budget,
         max_dup_ngram_frac=dup_cap,
         drop_tail_bucket=args.strict,
+        urls=spark.read.parquet(args.urls) if args.urls else None,
+        blocklist=(
+            spark.read.parquet(args.blocklist)
+            if args.blocklist else None
+        ),
+        robots_rules=(
+            spark.read.parquet(args.robots) if args.robots else None
+        ),
+        latest_only=args.latest_only,
     ).persist()
     # shard is the natural read unit downstream (one training file per
     # shard) — partition the sink by it so a trainer reads one
@@ -98,6 +125,7 @@ def main() -> None:
                 "tokens_out": int(stats["tokens"] or 0),
                 "shards": int(stats["shards"]),
                 "strict": bool(args.strict),
+                "url_layer": bool(args.urls),
                 "output": args.output,
             }
         )
