@@ -55,18 +55,25 @@ def test_brute_topk_broadcasts_queries(spark):
 
 
 def test_new_textops_plans_pruned_and_codegen(spark):
-    import __spark_entry__ as e
+    # asserted on the OPERATOR functions directly: the registry now
+    # packages these per-doc projections as doc_id-joined merged
+    # entries (driver-gate budget), which would hide the individual
+    # shuffle-free plan shape
+    from dce_spark.functions import textops
 
-    qs = e.queries()
-    for name in ("doc_gopher_quality", "doc_rolling_fingerprint"):
-        plan = _plan(qs[name](spark, SF))
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for name, op in (
+        ("gopher_quality", textops.gopher_quality),
+        ("rolling_fingerprint", textops.rolling_fingerprint),
+    ):
+        plan = _plan(op(docs))
         assert "Python" not in plan, name  # pure Catalyst
         assert plan.count("Exchange") == 0, name  # shuffle-free projection
         assert "text:string" in plan and "lang" not in plan.split(
             "ReadSchema"
         )[1][:120], name  # only doc_id+text scanned
 
-    plan = _plan(qs["doc_repetition"](spark, SF))
+    plan = _plan(textops.repetition_signals(docs))
     assert "Python" not in plan
     # one groupBy + window + join-back: bounded exchange count
     assert plan.count("Exchange") <= 4
@@ -158,9 +165,11 @@ def test_url_ops_plans(spark):
 
 
 def test_cross_entropy_plan_broadcast_thresholds_no_window(spark):
-    import __spark_entry__ as e
+    # operator-direct (registry packages this inside doc_lm_scores)
+    from dce_spark.functions.textops import unigram_cross_entropy
 
-    plan = _plan(e.queries()["doc_cross_entropy"](spark, SF))
+    plan = _plan(unigram_cross_entropy(
+        spark.read.parquet(f"{SF}/documents.parquet")))
     # integer per-doc agg with map-side partials; the per-source
     # totals and thresholds come back as broadcast joins; no Window
     # operator anywhere (rank selection happens inside an aggregate)
