@@ -99,7 +99,9 @@ def test_emb_dedup_no_crossjoin(spark):
 def test_events_last_max_partial_agg_no_window(spark):
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()["events_last_max"](spark, SF))
+    # registry packages last-max inside events_type_stats; the merged
+    # plan must still show the aggregate shape and never a Window
+    plan = _plan(e.queries()["events_type_stats"](spark, SF))
     # top-1 per type is an aggregate with map-side partial combine, not
     # a row_number window over the ~5-value key (one reducer per type)
     assert "Window" not in plan
