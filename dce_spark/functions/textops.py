@@ -49,6 +49,108 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+_BLOOM_BITS_PER_WORD = 63  # bits 0..62 only: bit 63 is the BIGINT
+# sign bit, and arithmetic-shift semantics on negative values differ
+# subtly across engines — wasting one bit per word buys bit-exact
+# cross-engine parity for the packed filter
+
+
+def _bloom_positions(text, n_hashes: int, n_bits: int):
+    """Array of n_hashes deterministic bit positions for one text:
+    seeded md5 -> 60-bit int -> pmod n_bits. Same construction as the
+    minhash seeds — engine-independent, no native hash functions."""
+    return F.array(*[
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bl{i}:"), text)), 1, 15
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(n_bits).cast("long"),
+        )
+        for i in range(n_hashes)
+    ])
+
+
+def bloom_filter_words(
+    documents: DataFrame, n_hashes: int = 5, n_bits: int = 1 << 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed Bloom filter over the corpus texts, AS A DATAFRAME:
+    (word: long, bits: long) — word w holds bits [w*63, w*63+62] of
+    the filter, OR-folded with a map-side-partial bit_or aggregate.
+    At most ceil(n_bits/63) rows regardless of corpus size, so the
+    filter for 10^9 bits is ~16M rows / ~250 MB — broadcastable; the
+    build itself is explode -> one hash shuffle on the word key.
+
+    Spark's internal BloomFilterAggregate is not a public function;
+    this formulation is, and unlike an opaque binary blob it is
+    deterministic, mergeable (bit_or of two filters' rows), prunable,
+    and oracle-checkable cross-engine."""
+    p = F.col("p")
+    return (
+        documents.select(
+            F.explode(
+                _bloom_positions(F.col(text_col), n_hashes, n_bits)
+            ).alias("p")
+        )
+        .select(
+            F.expr(f"p div {_BLOOM_BITS_PER_WORD}").alias("word"),
+            F.pmod(p, _BLOOM_BITS_PER_WORD).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_dedup(
+    new_docs: DataFrame, seen_docs: DataFrame, n_hashes: int = 5,
+    n_bits: int = 1 << 20, id_col: str = "doc_id",
+    text_col: str = "text", broadcast_filter: bool = True,
+) -> DataFrame:
+    """Incremental corpus dedup: flag docs in ``new_docs`` whose text
+    is (probably) already in ``seen_docs`` — the new-crawl-batch vs
+    historical-corpus membership pass. An exact anti-join dedup against
+    a 100 TB historical corpus shuffles BOTH sides on every ingest;
+    here the history collapses once into the packed filter table
+    (bloom_filter_words) and each batch probes it with a broadcast
+    join on the word key — the history is never re-shuffled.
+
+    Asymmetric error, the right direction for dedup: might-contain has
+    NO false negatives (every true duplicate is flagged), and false
+    positives (a novel doc flagged seen, rate ~(1-e^(-kn/m))^k) only
+    cost a few novel docs. Size ``n_bits`` ~10 bits/doc for ~1% FP at
+    k=5; past ~10^10 bits set ``broadcast_filter=False`` and the probe
+    becomes a shuffled join on the same key.
+
+    Returns (id_col, probably_seen) — total over new_docs."""
+    flt = bloom_filter_words(seen_docs, n_hashes, n_bits, text_col)
+    if broadcast_filter:
+        flt = F.broadcast(flt)
+    probes = new_docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(
+            _bloom_positions(F.col(text_col), n_hashes, n_bits)
+        ).alias("p"),
+    ).withColumn("word", F.expr(f"p div {_BLOOM_BITS_PER_WORD}"))
+    hit = F.when(F.col("bits").isNull(), F.lit(0)).otherwise(
+        F.expr(
+            f"CAST(shiftright(bits, CAST(pmod(p,"
+            f" {_BLOOM_BITS_PER_WORD}) AS INT)) & 1 AS INT)"
+        )
+    )
+    return (
+        probes.join(flt, "word", "left")
+        .groupBy(id_col)
+        .agg((F.min(hit) == 1).alias("probably_seen"))
+    )
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),

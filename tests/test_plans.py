@@ -243,6 +243,18 @@ def test_span_dedup_partial_min_no_window(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bloom_dedup_broadcast_probe(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_bloom_dedup"](spark, SF))
+    # the packed filter table broadcasts; the probe is a broadcast
+    # join + aggregate — the historical side is never re-shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    assert "partial_min" in plan  # map-side combine of the k probes
+
+
 def test_url_robots_broadcast_rules(spark):
     import __spark_entry__ as e
 

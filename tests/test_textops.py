@@ -910,6 +910,41 @@ def test_c4_filter_rules(spark):
     assert row.n_kept_lines == 3 and row.kept
 
 
+def test_bloom_dedup_no_false_negatives(spark):
+    seen = spark.createDataFrame(
+        [(i, f"historical document number {i} body") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(i, f"historical document number {i} body") for i in range(100)]
+        + [(1000 + i, f"completely novel text {i}") for i in range(100)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.probably_seen
+           for r in textops.bloom_dedup(new, seen, n_bits=1 << 16).collect()}
+    # no false negatives: every true duplicate is flagged
+    assert all(out[i] for i in range(100))
+    # FP rate at this load (~1000 set bits in 65536) is ~1e-9: the
+    # novel docs must come back unseen
+    assert not any(out[1000 + i] for i in range(100))
+
+
+def test_bloom_filter_words_mergeable_and_bounded(spark):
+    a = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    b = spark.createDataFrame([(3, "gamma")], ["doc_id", "text"])
+    both = a.unionByName(b)
+    n_bits = 1 << 12
+    wa = {r.word: r.bits
+          for r in textops.bloom_filter_words(a, n_bits=n_bits).collect()}
+    wb = {r.word: r.bits
+          for r in textops.bloom_filter_words(b, n_bits=n_bits).collect()}
+    wu = {r.word: r.bits
+          for r in textops.bloom_filter_words(both, n_bits=n_bits).collect()}
+    merged = {w: wa.get(w, 0) | wb.get(w, 0) for w in set(wa) | set(wb)}
+    assert merged == wu  # bit_or of filters == filter of union
+    assert len(wu) <= -(-n_bits // 63)  # word count bounded by n_bits
+
+
 def test_curate_corpus_url_layer(spark):
     # the crawl-hygiene stages each bite: doc 1 domain-blocked, doc 2
     # robots-disallowed, doc 3 an older capture of doc 4's canonical
