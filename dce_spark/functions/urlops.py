@@ -318,3 +318,101 @@ def host_link_edges(
             (F.col("src_host") == F.col("dst_host")).alias("internal"),
         )
     )
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the (host, allow, prefix)
+    rules table that :func:`robots_filter` evaluates — the missing
+    front half of the REP pipeline (fetching gives you bodies; this
+    turns them into decisions).
+
+    RFC 9309 grouping semantics, pure Catalyst: lines split and
+    comment-stripped projection-side; a ``User-agent`` line whose
+    predecessor is not one STARTS a group (consecutive UA lines form
+    one multi-agent header); Allow/Disallow lines belong to the
+    current group; a group applies to ``agent`` when its header names
+    it (case-insensitive) or ``*``, and per the RFC's most-specific-
+    match rule, hosts that have an exact-agent group use ONLY those
+    groups (the ``*`` groups are ignored there). Empty-value rules
+    ("Disallow:" = unrestricted) are dropped — exactly the
+    precondition robots_filter documents. Unknown fields (crawl-delay,
+    sitemap) are ignored.
+
+    Scale shape: the two per-host ordered windows (lag for
+    group-start, running sum for group id) partition on host — a
+    robots body is capped at ~500 KB by the RFC, so per-host work is
+    bounded and the shuffle key is the natural host key the rest of
+    the URL layer already uses. Everything else is projections and
+    one semi-join of rule lines against the selected group set.
+    """
+    from pyspark.sql.window import Window
+
+    host = F.col(host_col)
+    lines = df.select(
+        host.alias("host"),
+        F.posexplode(
+            F.split(F.col(body_col), r"\r\n|\r|\n")
+        ).alias("pos", "raw"),
+    )
+    parsed = lines.select(
+        "host", "pos",
+        F.trim(F.regexp_replace(F.col("raw"), "#.*", "")).alias("line"),
+    ).select(
+        "host", "pos",
+        F.lower(
+            F.trim(F.regexp_extract(F.col("line"), "^([^:]+):", 1))
+        ).alias("field"),
+        F.trim(
+            F.regexp_extract(F.col("line"), "^[^:]+:(.*)$", 1)
+        ).alias("value"),
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    flagged = (
+        parsed.withColumn("is_ua", F.col("field") == "user-agent")
+        .withColumn(
+            "starts",
+            F.col("is_ua")
+            & ~F.coalesce(F.lag("is_ua", 1).over(w), F.lit(False)),
+        )
+        .withColumn(
+            "grp",
+            F.sum(F.when(F.col("starts"), 1).otherwise(0)).over(w),
+        )
+    )
+    uas = (
+        flagged.filter(F.col("is_ua"))
+        .groupBy("host", "grp")
+        .agg(
+            F.max(
+                F.lower(F.col("value")) == agent.lower()
+            ).alias("exact"),
+            F.max(F.col("value") == "*").alias("star"),
+        )
+    )
+    host_has_exact = uas.groupBy("host").agg(
+        F.max("exact").alias("has_exact")
+    )
+    selected = (
+        uas.join(host_has_exact, "host")
+        .filter(
+            F.when(F.col("has_exact"), F.col("exact"))
+            .otherwise(F.col("star"))
+        )
+        .select("host", "grp")
+    )
+    return (
+        flagged.filter(
+            F.col("field").isin("allow", "disallow")
+            & (F.col("value") != "")
+        )
+        .join(selected, ["host", "grp"], "semi")
+        .select(
+            "host",
+            (F.col("field") == "allow").alias("allow"),
+            F.col("value").alias("prefix"),
+        )
+        .distinct()
+    )

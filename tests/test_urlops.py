@@ -220,3 +220,63 @@ def test_host_link_edges_composes_with_extraction(spark):
     assert edges.columns == ["src_host", "dst_host", "n_links",
                              "internal"]
     edges.collect()
+
+
+_ROBOTS_BODY = """# demo file
+User-agent: googlebot
+Disallow: /google-only
+
+User-agent: *
+User-agent: otherbot
+Disallow: /private/
+Allow: /private/ok
+Disallow:
+Crawl-delay: 10
+
+User-agent: databot
+Disallow: /exact
+"""
+
+
+def test_parse_robots_group_semantics(spark):
+    from dce_spark.functions.urlops import parse_robots
+
+    df = spark.createDataFrame(
+        [("a.test", _ROBOTS_BODY), ("b.test", "User-agent: *\nDisallow: /x\n")],
+        ["host", "body"],
+    )
+    # exact-agent group present -> ONLY its rules apply on that host
+    exact = sorted(
+        map(tuple, parse_robots(df, agent="databot").collect())
+    )
+    assert exact == [("a.test", False, "/exact"), ("b.test", False, "/x")]
+    # unknown agent falls back to the '*' group; the multi-UA header
+    # groups rules correctly; empty Disallow and crawl-delay dropped
+    star = sorted(map(tuple, parse_robots(df, agent="nobody").collect()))
+    assert star == [
+        ("a.test", False, "/private/"),
+        ("a.test", True, "/private/ok"),
+        ("b.test", False, "/x"),
+    ]
+    # agent matching is case-insensitive on the UA token
+    assert sorted(
+        map(tuple, parse_robots(df, agent="DataBot").collect())
+    )[0] == ("a.test", False, "/exact")
+
+
+def test_parse_robots_feeds_robots_filter(spark):
+    """End-to-end REP: raw body -> parse_robots -> robots_filter."""
+    from dce_spark.functions.urlops import parse_robots, robots_filter
+
+    bodies = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /priv\nAllow: /priv/pub\n")],
+        ["host", "body"],
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://a.test/priv/x"), (2, "https://a.test/priv/pub/y"),
+         (3, "https://a.test/open")],
+        ["doc_id", "url"],
+    )
+    rules = parse_robots(bodies, agent="crawler")
+    out = {r.doc_id: r.allowed for r in robots_filter(urls, rules).collect()}
+    assert out == {1: False, 2: True, 3: True}
