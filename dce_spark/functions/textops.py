@@ -1767,3 +1767,88 @@ def span_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.col("n_sentences").cast("long").alias("n_sentences"),
     )
+
+
+def tfidf_keywords(
+    documents: DataFrame, top_k: int = 5, max_df_frac: float = 0.3,
+    text_col: str = "text", broadcast_idf: bool = True,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the standard corpus
+    summarization / topic-tagging primitive. Returns one row per
+    (doc_id, rank) with the token and its integer score.
+
+    Determinism: idf is the fixed-point integer
+    round(log2(n_docs / df) * 1e6) computed ONCE per vocab entry (the
+    unigram_cross_entropy discipline — a raw f64 sum of logs is
+    ordering-dependent; the 1e-6 rounding absorbs libm/JVM ULPs), and
+    the per-doc score tf * idf_micro is BIGINT, so ranking is
+    bit-exact under any partitioning. Ties break by token text.
+
+    Scale shape: one (doc_id, tok) count aggregate (map-side
+    partials), one df aggregate over it, a broadcast join to attach
+    idf (vocab-sized — fits comfortably to ~10^8 entries; set
+    ``broadcast_idf=False`` past that and the join shuffles on tok,
+    where the ``max_df_frac`` cap has already REMOVED the Zipf head:
+    a token in more than that fraction of docs is a stopword, not a
+    keyword, so the hot keys never reach the join), then one per-doc
+    top-k via sort+slice inside an aggregate — no Window, no global
+    sort. Docs whose every token was df-capped yield no rows."""
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n_docs = documents.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df").cast("double")
+            <= F.lit(float(max_df_frac)) * F.col("n_docs").cast("double")
+        )
+        .select(
+            "tok",
+            F.round(
+                F.log2(
+                    F.col("n_docs").cast("double")
+                    / F.col("df").cast("double")
+                ) * F.lit(1e6),
+                0,
+            ).cast("long").alias("idf_micro"),
+        )
+    )
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+    scored = tf.join(idf, "tok").select(
+        "doc_id", "tok",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    ranked = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score_micro")).alias("neg"),
+                            F.col("tok").alias("tok"),
+                        )
+                    )
+                ),
+                1, top_k,
+            ).alias("top")
+        )
+        .select("doc_id", F.posexplode("top").alias("idx", "t"))
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).cast("long").alias("rank"),
+            F.col("t.tok").alias("token"),
+            (-F.col("t.neg")).cast("long").alias("score_micro"),
+        )
+    )
+    return ranked

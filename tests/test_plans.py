@@ -243,6 +243,18 @@ def test_span_dedup_partial_min_no_window(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tfidf_no_window_broadcast_idf(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_tfidf"](spark, SF))
+    # top-k via sort+slice inside an aggregate, never a Window; the
+    # vocab idf table attaches by broadcast
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bloom_dedup_broadcast_probe(spark):
     import __spark_entry__ as e
 

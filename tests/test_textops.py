@@ -910,6 +910,34 @@ def test_c4_filter_rules(spark):
     assert row.n_kept_lines == 3 and row.kept
 
 
+def test_tfidf_keywords_ranking_and_cap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 rare1 rare1 mid"),
+            (2, "common mid rare2"),
+            (3, "common other stuff here"),
+            (4, "common filler words again"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.tfidf_keywords(docs, top_k=2, max_df_frac=0.6)
+    rows = {(r.doc_id, r.rank): (r.token, r.score_micro)
+            for r in out.collect()}
+    # 'common' is in 4/4 docs -> df-capped out entirely
+    assert all(t != "common" for t, _ in rows.values())
+    # doc 1: tf=3 'rare1' (df=1) dominates 'mid' (df=2)
+    assert rows[(1, 1)][0] == "rare1"
+    assert rows[(1, 2)][0] == "mid"
+    # integer score: 3 * round(log2(4/1)*1e6) = 6_000_000
+    assert rows[(1, 1)][1] == 6_000_000
+    # deterministic under partitioning
+    out2 = {(r.doc_id, r.rank): (r.token, r.score_micro)
+            for r in textops.tfidf_keywords(
+                docs.repartition(7), top_k=2, max_df_frac=0.6
+            ).collect()}
+    assert out2 == rows
+
+
 def test_bloom_dedup_no_false_negatives(spark):
     seen = spark.createDataFrame(
         [(i, f"historical document number {i} body") for i in range(200)],
