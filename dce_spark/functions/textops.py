@@ -1852,3 +1852,57 @@ def tfidf_keywords(
         )
     )
     return ranked
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 2048, overlap: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    — the pretraining prep step between extraction and shard packing
+    (a 200k-token page must become ~2k-token training rows; the
+    overlap preserves context across the cut).
+
+    Pure projection: tokens array -> sequence of window starts
+    (stride = chunk_tokens - overlap) -> per-start slice + join. No
+    shuffle, no state — at 10^12 docs this is map-only and the output
+    rows inherit the input partitioning. The final window is the
+    remainder (>= 1 token); a document shorter than chunk_tokens
+    yields exactly one chunk equal to itself (empty text yields one
+    empty chunk — totality over input rows). Deterministic chunk ids
+    (doc_id, chunk_id ascending from 0)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tk = tokens_col(text_col)
+    n = F.size(tk)
+    # starts: 0, stride, 2*stride, ... while start < max(n - overlap, 1)
+    # (the last window covers the tail; a start that would yield only
+    # already-covered overlap tokens is not emitted)
+    last = F.greatest(n - F.lit(overlap), F.lit(1))
+    starts = F.sequence(
+        F.lit(0),
+        ((last - 1) - F.pmod(last - 1, F.lit(stride))).cast("int"),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(
+                F.slice(tk, s + 1, chunk_tokens), " "
+            ).alias("chunk"),
+            F.least(
+                F.lit(chunk_tokens).cast("long"),
+                (n - s).cast("long"),
+            ).alias("n_tok"),
+        ),
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_id", "c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk_text"),
+        F.col("c.n_tok").alias("n_tokens"),
+    )

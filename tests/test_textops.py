@@ -910,6 +910,35 @@ def test_c4_filter_rules(spark):
     assert row.n_kept_lines == 3 and row.kept
 
 
+def test_chunk_documents_windows(spark):
+    text = " ".join(f"t{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short doc")], ["doc_id", "text"]
+    )
+    out = textops.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in out.collect()
+    )
+    # shorter than one window: a single chunk equal to the text
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "short doc", 2)]
+    d1 = [r for r in rows if r[0] == 1]
+    # stride 12, last-start bound max(50-4,1)=46 -> starts 0,12,24,36
+    assert [c for _, c, _, _ in d1] == [0, 1, 2, 3]
+    toks = text.split(" ")
+    for _, cid, t, n in d1:
+        s = cid * 12
+        assert t == " ".join(toks[s:s + 16])
+        assert n == min(16, 50 - s)
+    # every token of the doc is covered by some chunk
+    covered = set()
+    for _, cid, t, _ in d1:
+        covered.update(t.split(" "))
+    assert covered == set(toks)
+    with pytest.raises(ValueError):
+        textops.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
 def test_tfidf_keywords_ranking_and_cap(spark):
     docs = spark.createDataFrame(
         [
