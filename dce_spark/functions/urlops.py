@@ -416,3 +416,52 @@ def parse_robots(
         )
         .distinct()
     )
+
+
+def host_quota_sample(
+    df: DataFrame, max_per_host: int, url_col: str = "url",
+    id_col: str = "doc_id", salt: str = "hq1",
+) -> DataFrame:
+    """Domain balancing: cap each host's contribution at ~``max_per_
+    host`` documents (the anti-SEO-farm / anti-mirror step — without
+    it one blog platform is 10% of the corpus). A document is kept
+    with probability min(1, quota / host_count), decided by a
+    deterministic salted-md5 draw, so the kept count per host is
+    quota in expectation (binomial concentration; for quota >= ~100
+    the deviation is a few percent) — the price of needing NO
+    per-host ordering: an exact top-N would need a rank per host,
+    i.e. a window sort on a Zipf-skewed key, exactly the shape this
+    module avoids.
+
+    Integer-exact keep rule (bit-identical on any engine and
+    partitioning): 40-bit md5 draw < (quota << 40) div host_count —
+    no float boundary, quota safe to 2^23. Shape: one count agg on
+    host + one join back on host; the host key is Zipf-skewed, so on
+    the probe side AQE skew-split applies — or pre-aggregate by
+    (host, bucket) upstream. Output (id, host, kept) total over
+    input."""
+    host = url_host_col(F.col(url_col))
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        host.alias("host"),
+    )
+    counts = base.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("_hc")
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"),
+                           F.col(id_col).cast("string"))),
+            1, 10,
+        ),
+        16, 10,
+    ).cast("long")  # 40-bit uniform draw
+    threshold = F.expr(
+        f"(CAST({int(max_per_host)} AS BIGINT)"
+        f" * CAST({1 << 40} AS BIGINT)) div _hc"
+    )
+    return base.join(counts, "host").select(
+        id_col,
+        "host",
+        (draw < threshold).alias("kept"),
+    )

@@ -280,3 +280,26 @@ def test_parse_robots_feeds_robots_filter(spark):
     rules = parse_robots(bodies, agent="crawler")
     out = {r.doc_id: r.allowed for r in robots_filter(urls, rules).collect()}
     assert out == {1: False, 2: True, 3: True}
+
+
+def test_host_quota_sample_caps_heavy_host(spark):
+    from dce_spark.functions.urlops import host_quota_sample
+
+    rows = [(i, "https://megafarm.net/p/%d" % i) for i in range(2000)]
+    rows += [(10000 + i, "https://tiny.org/%d" % i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = host_quota_sample(df, max_per_host=100)
+    kept = {h: 0 for h in ("megafarm.net", "tiny.org")}
+    total = {h: 0 for h in kept}
+    for r in out.collect():
+        total[r.host] += 1
+        kept[r.host] += int(r.kept)
+    assert total == {"megafarm.net": 2000, "tiny.org": 3}  # total output
+    # under-quota host: keep probability 1 (threshold > 2^40)
+    assert kept["tiny.org"] == 3
+    # heavy host capped near the quota (binomial: 100 +- ~30 at 3 sigma)
+    assert 60 <= kept["megafarm.net"] <= 140
+    # deterministic under partitioning
+    again = sorted(map(tuple, host_quota_sample(
+        df.repartition(13), max_per_host=100).collect()))
+    assert again == sorted(map(tuple, out.collect()))
