@@ -98,6 +98,45 @@ def stream_extract(
     )
 
 
+def _probe_historical(pages, key, flt, n_hashes, n_bits):
+    """Drop rows whose ``key`` is (probably) in the packed Bloom
+    table: one broadcast join per hash against the (word, bits) rows,
+    then keep iff ANY position's bit is unset. Stateless — see
+    stream_dedup_extract."""
+    from dce_spark.functions.textops import (
+        _BLOOM_BITS_PER_WORD as W,
+        _bloom_positions,
+    )
+
+    pages = pages.withColumn(
+        "_blp", _bloom_positions(F.col(key), n_hashes, n_bits)
+    )
+    any_unset = F.lit(False)
+    drop_cols = ["_blp"]
+    for i in range(n_hashes):
+        fi = F.broadcast(
+            flt.select(
+                F.col("word").alias(f"_w{i}"),
+                F.col("bits").alias(f"_b{i}"),
+            )
+        )
+        pages = pages.join(
+            fi,
+            F.expr(f"element_at(_blp, {i + 1}) div {W}")
+            == F.col(f"_w{i}"),
+            "left",
+        )
+        hit = F.when(F.col(f"_b{i}").isNull(), F.lit(0)).otherwise(
+            F.expr(
+                f"CAST(shiftright(_b{i}, CAST(pmod(element_at(_blp,"
+                f" {i + 1}), {W}) AS INT)) & 1 AS INT)"
+            )
+        )
+        any_unset = any_unset | (hit == 0)
+        drop_cols += [f"_w{i}", f"_b{i}"]
+    return pages.filter(any_unset).drop(*drop_cols)
+
+
 def stream_dedup_extract(
     spark: SparkSession,
     input_dir: str,
@@ -107,6 +146,9 @@ def stream_dedup_extract(
     watermark: str = "10 minutes",
     max_files_per_trigger: int = 16,
     canonical_urls: bool = False,
+    historical_filter=None,
+    historical_n_hashes: int = 5,
+    historical_n_bits: int = 1 << 20,
 ):
     """Streaming extraction with in-flight url dedup.
 
@@ -124,6 +166,21 @@ def stream_dedup_extract(
     already-seen page are dropped too; the emitted rows keep the
     original url. The key is a stateless projection, so it adds no
     state beyond the narrower key space.
+
+    ``historical_filter`` connects the stream to the BATCH history:
+    pass the packed Bloom table built offline by
+    ``textops.bloom_filter_words`` over the historical corpus's url
+    keys (canonical urls when ``canonical_urls=True`` — build and
+    probe MUST agree on the key form and on n_hashes/n_bits), and
+    pages whose url is probably already crawled are dropped before
+    the watermark dedup ever sees them. The probe is ``n_hashes``
+    stream-static BROADCAST joins plus a boolean fold — stateless and
+    append-safe (the batch formulation's explode + groupBy would be a
+    streaming aggregation and force a different output mode), so
+    state stays bounded by the watermark window while the filter
+    carries the unbounded history. Bloom false positives drop a
+    never-crawled url (rate set by the filter sizing); false
+    negatives cannot happen, so nothing already crawled re-extracts.
     """
     pages = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -146,6 +203,11 @@ def stream_dedup_extract(
         key = "url_key"
     else:
         key = "url"
+    if historical_filter is not None:
+        pages = _probe_historical(
+            pages, key, historical_filter,
+            historical_n_hashes, historical_n_bits,
+        )
     deduped = pages.withWatermark("warc_ts", watermark)\
         .dropDuplicatesWithinWatermark([key])
     if canonical_urls:

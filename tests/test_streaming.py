@@ -193,3 +193,49 @@ def test_stream_quality_gate_article_mode(spark, tmp_path):
 
     out = spark.read.parquet(out_dir)
     assert out.count() == 1  # the rich article survives the gate
+
+
+def test_stream_historical_bloom_gate(spark, tmp_path):
+    """The packed Bloom table of the batch history gates the stream:
+    already-crawled canonical urls (including tracking-param variants)
+    are dropped before extraction; new urls flow through."""
+    import datetime as dt
+
+    from dce_spark.functions.textops import bloom_filter_words
+    from dce_spark.functions.urlops import url_normalize_col
+    from dce_spark.spark.schema import PAGES_SCHEMA
+    from dce_spark.streaming.stream import stream_dedup_extract
+    from pyspark.sql import functions as F
+
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / d) for d in ("in", "out", "ck")
+    )
+    # batch history: two canonical urls, filter built on the SAME key
+    # form the stream probes (canonical)
+    hist = spark.createDataFrame(
+        [("https://a.test/old1",), ("https://a.test/old2?utm_source=x",)],
+        ["url"],
+    ).select(url_normalize_col(F.col("url")).alias("url_key"))
+    flt = bloom_filter_words(
+        hist, n_bits=1 << 14, text_col="url_key"
+    ).localCheckpoint(eager=True)
+
+    ts = dt.datetime(2025, 6, 1, 12, 0, 0)
+    html = b"<html><body><p>Historical gate body text.</p></body></html>"
+    rows = [
+        ("https://a.test/old1", ts, html, None, "en"),            # seen
+        ("HTTPS://A.test/old2#frag", ts, html, None, "en"),       # seen (canonical)
+        ("https://a.test/new1", ts, html, None, "en"),
+        ("https://a.test/new2", ts, html, None, "en"),
+    ]
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(in_dir)
+    q = stream_dedup_extract(
+        spark, in_dir, out_dir, ck_dir, canonical_urls=True,
+        historical_filter=flt, historical_n_bits=1 << 14,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    urls = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+    assert urls == ["https://a.test/new1", "https://a.test/new2"]

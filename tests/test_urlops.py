@@ -303,3 +303,33 @@ def test_host_quota_sample_caps_heavy_host(spark):
     again = sorted(map(tuple, host_quota_sample(
         df.repartition(13), max_per_host=100).collect()))
     assert again == sorted(map(tuple, out.collect()))
+
+
+def test_parse_robots_total_on_garbage(spark):
+    """Arbitrary junk bodies never raise and never leak non-rule
+    fields; output schema is stable."""
+    from dce_spark.functions.urlops import parse_robots
+
+    bodies = [
+        "",
+        "\n\n\n",
+        "no colons here at all",
+        ":::: weird :::",
+        "Disallow: /orphan-before-any-group\n",
+        "User-agent: *",                      # group with no rules
+        "User-agent: *\nDisallow /missing-colon\nAllow: ok\n",
+        "Sitemap: https://x/s.xml\nCrawl-delay: 9\n",
+        "User-agent: *\r\nDisallow: /crlf\r\n",   # CRLF endings
+        "\x00\x01\x02User-agent: *\nDisallow: /bin\n",
+    ]
+    df = spark.createDataFrame(
+        [(f"h{i}.test", b) for i, b in enumerate(bodies)],
+        ["host", "body"],
+    )
+    out = parse_robots(df, agent="anybot").collect()
+    assert all(r.prefix != "" for r in out)
+    got = {(r.host, r.allow, r.prefix) for r in out}
+    # rules outside any group are ignored; missing-colon lines too
+    assert ("h4.test", False, "/orphan-before-any-group") not in got
+    assert ("h8.test", False, "/crlf") in got
+    assert ("h6.test", True, "ok") in got
