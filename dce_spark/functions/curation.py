@@ -52,8 +52,11 @@ def curate_corpus(
     urls: DataFrame | None = None,
     blocklist: DataFrame | None = None,
     robots_rules: DataFrame | None = None,
+    robots_bodies: DataFrame | None = None,
+    robots_agent: str = "*",
     latest_only: bool = False,
     url_ts_col: str = "ts",
+    cc_dedup: bool = False,
 ) -> DataFrame:
     """Returns the packed shard table (source, doc_id, n_tokens, shard)
     of the curated survivors.
@@ -81,7 +84,18 @@ def curate_corpus(
       allowed one.
     Blocklist and robots are per-row decisions, so both are computed
     against the original URL table and applied as independent
-    semi-joins; only latest-snapshot is order-sensitive."""
+    semi-joins; only latest-snapshot is order-sensitive.
+    * robots_bodies — raw (host, body) robots.txt fetches; parsed
+      with :func:`urlops.parse_robots` for ``robots_agent`` and used
+      exactly like robots_rules (pass one or the other, not both —
+      crawl pipelines usually have bodies, not pre-parsed tables).
+
+    ``cc_dedup=True`` swaps the near-dup stage's band-keeper decision
+    for the transitive-closure connected-components one
+    (textops.minhash_dedup_cc): A~B~C collapses to ONE survivor even
+    when A and C share no band. Costlier (O(log diameter)
+    label-propagation rounds) but the semantics most corpus papers
+    mean by "near-dedup"."""
     base = documents.withColumn("doc_id", F.col("doc_id").cast("long"))
 
     def _cut(frontier, prev=None):
@@ -99,6 +113,16 @@ def curate_corpus(
             surviving = surviving.join(
                 ok.filter(~F.col("blocked")).select("doc_id"),
                 "doc_id", "semi",
+            )
+        if robots_bodies is not None:
+            if robots_rules is not None:
+                raise ValueError(
+                    "pass robots_rules or robots_bodies, not both"
+                )
+            from dce_spark.functions.urlops import parse_robots
+
+            robots_rules = parse_robots(
+                robots_bodies, agent=robots_agent
             )
         if robots_rules is not None:
             ok = robots_filter(urls, robots_rules)
@@ -129,10 +153,15 @@ def curate_corpus(
     g2 = gated.join(exact_keep.select("doc_id"), "doc_id", "semi")
 
     # near-dup dedup over the exact-dedup survivors (band keeper)
-    mh = minhash_dedup(g2, k=k)
-    g3 = g2.join(
-        mh.filter(F.col("is_kept")).select("doc_id"), "doc_id", "semi"
-    )
+    if cc_dedup:
+        from dce_spark.functions.textops import minhash_dedup_cc
+
+        mh_keep = minhash_dedup_cc(g2, k=k).filter(
+            F.col("is_canonical")
+        )
+    else:
+        mh_keep = minhash_dedup(g2, k=k).filter(F.col("is_kept"))
+    g3 = g2.join(mh_keep.select("doc_id"), "doc_id", "semi")
 
     # Each corpus-relative gate references the survivor frame several
     # times (shingle side + totalization + the semi-join back), and

@@ -56,13 +56,27 @@ def main() -> None:
     ap.add_argument("--max-dup-ngram-frac", type=float, default=None)
     ap.add_argument("--urls", default=None)
     ap.add_argument("--blocklist", default=None)
-    ap.add_argument("--robots", default=None)
+    ap.add_argument("--robots", default=None,
+                    help="parquet of pre-parsed (host, allow, prefix)")
+    ap.add_argument("--robots-bodies", default=None,
+                    help="parquet of raw (host, body) robots.txt "
+                         "fetches, parsed in-job")
+    ap.add_argument("--robots-agent", default="*")
     ap.add_argument("--latest-only", action="store_true")
+    ap.add_argument("--cc-dedup", action="store_true",
+                    help="transitive-closure near-dup dedup instead "
+                         "of the one-pass band keeper")
     args = ap.parse_args()
     if args.urls is None and (
-        args.blocklist or args.robots or args.latest_only
+        args.blocklist or args.robots or args.robots_bodies
+        or args.latest_only
     ):
-        ap.error("--blocklist/--robots/--latest-only require --urls")
+        ap.error(
+            "--blocklist/--robots/--robots-bodies/--latest-only"
+            " require --urls"
+        )
+    if args.robots and args.robots_bodies:
+        ap.error("pass --robots or --robots-bodies, not both")
 
     from pyspark.sql import functions as F
 
@@ -99,7 +113,13 @@ def main() -> None:
         robots_rules=(
             spark.read.parquet(args.robots) if args.robots else None
         ),
+        robots_bodies=(
+            spark.read.parquet(args.robots_bodies)
+            if args.robots_bodies else None
+        ),
+        robots_agent=args.robots_agent,
         latest_only=args.latest_only,
+        cc_dedup=args.cc_dedup,
     ).persist()
     # shard is the natural read unit downstream (one training file per
     # shard) — partition the sink by it so a trainer reads one

@@ -1035,6 +1035,40 @@ def test_curate_corpus_url_layer(spark):
     assert sorted(r.doc_id for r in out.collect()) == [4, 5]
 
 
+def test_curate_corpus_robots_bodies_and_cc(spark):
+    # raw robots.txt bodies parse inline and gate like pre-parsed
+    # rules; cc_dedup swaps the band keeper for transitive closure
+    from dce_spark.functions.curation import curate_corpus
+
+    words = lambda tag: " ".join(f"{tag}{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(i, words(t), "en", "s", 0)
+         for i, t in [(1, "a"), (2, "b"), (3, "c")]],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://ok.net/private/page", 1),
+         (2, "https://ok.net/fine", 1),
+         (3, "https://ok.net/also-fine", 1)],
+        ["doc_id", "url", "ts"],
+    )
+    bodies = spark.createDataFrame(
+        [("ok.net", "User-agent: *\nDisallow: /private\n")],
+        ["host", "body"],
+    )
+    out = curate_corpus(
+        docs, docs.filter(F.col("doc_id") < 0), min_tokens=5,
+        urls=urls, robots_bodies=bodies, cc_dedup=True,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        curate_corpus(
+            docs, docs, urls=urls, robots_bodies=bodies,
+            robots_rules=bodies,
+        )
+
+
 def test_curate_corpus_strict_gates_bite(spark):
     """The two strict gates must each remove their target class on top
     of the base pipeline: a boilerplate doc built almost entirely from
