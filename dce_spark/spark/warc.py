@@ -70,13 +70,53 @@ def _read_headers(stream) -> dict[bytes, bytes] | None:
             headers[name.strip().lower()] = value.strip()
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body (hex size
+    line, CRLF, chunk bytes, CRLF, ... , 0-size terminator). Crawl
+    archives store the raw wire bytes, so chunk framing would
+    otherwise land inside the html. Total: any framing damage returns
+    the chunks decoded so far (plus nothing), never raises."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            break
+        size_tok = body[pos:nl].strip().split(b";", 1)[0]
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk = body[nl + 1:nl + 1 + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break  # truncated mid-chunk
+        pos = nl + 1 + size
+        # skip the CRLF that terminates the chunk
+        if body[pos:pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos:pos + 1] == b"\n":
+            pos += 1
+    return b"".join(out)
+
+
 def _strip_http_headers(payload: bytes) -> bytes:
-    """Response records carry an HTTP message; the body starts after the
-    first blank line."""
+    """Response records carry an HTTP message; the body starts after
+    the first blank line. Chunked transfer encoding (the raw wire
+    form crawl archives store) is decoded."""
     for sep in (b"\r\n\r\n", b"\n\n"):
         idx = payload.find(sep)
         if 0 <= idx < 64 * 1024:  # header blocks are small
-            return payload[idx + len(sep):]
+            head = payload[:idx].lower()
+            body = payload[idx + len(sep):]
+            if (
+                b"transfer-encoding:" in head
+                and b"chunked" in head.split(b"transfer-encoding:", 1)[1][:64]
+            ):
+                return _dechunk(body)
+            return body
     return payload
 
 

@@ -55,6 +55,41 @@ def test_gzip_member_per_record():
     assert all(r["html"] == HTML1 for r in recs)
 
 
+def test_chunked_transfer_encoding_decoded():
+    from dce_spark.spark.warc import iter_warc_records
+
+    body = b"7\r\n<html><\r\n12\r\n/body></html> tail\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Type: text/html\r\n\r\n" + body)
+    headers = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: https://w.test/c\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    recs = list(iter_warc_records(headers + http + b"\r\n\r\n"))
+    assert recs[0]["html"] == b"<html></body></html> tail"
+    # truncated mid-chunk: keep what decoded, never raise
+    cut = http[: len(http) - len(body) + 12]
+    headers2 = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: https://w.test/t\r\n"
+        f"Content-Length: {len(cut)}\r\n\r\n"
+    ).encode()
+    recs2 = list(iter_warc_records(headers2 + cut + b"\r\n\r\n"))
+    assert recs2[0]["html"].startswith(b"<html><")
+    # chunk-extension after the size token is ignored
+    body3 = b"5;ext=1\r\nabcde\r\n0\r\n\r\n"
+    http3 = (b"HTTP/1.1 200 OK\r\ntransfer-encoding: CHUNKED\r\n\r\n"
+             + body3)
+    headers3 = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: https://w.test/e\r\n"
+        f"Content-Length: {len(http3)}\r\n\r\n"
+    ).encode()
+    recs3 = list(iter_warc_records(headers3 + http3 + b"\r\n\r\n"))
+    assert recs3[0]["html"] == b"abcde"
+
+
 def test_gzip_truncated_member_keeps_earlier_members():
     # streaming decode: records from complete members survive a final
     # member cut mid-stream (crawl-scale truncation costs rows, not jobs)
