@@ -102,20 +102,48 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
+def _header_value(head: bytes, name: bytes) -> bytes:
+    """First line-bounded value of an HTTP header in a lowercased
+    header block ('' when absent)."""
+    key = name + b":"
+    idx = head.find(key)
+    if idx < 0:
+        return b""
+    rest = head[idx + len(key):]
+    return rest.split(b"\n", 1)[0].strip()
+
+
 def _strip_http_headers(payload: bytes) -> bytes:
     """Response records carry an HTTP message; the body starts after
-    the first blank line. Chunked transfer encoding (the raw wire
-    form crawl archives store) is decoded."""
+    the first blank line. The raw wire forms crawl archives store are
+    undone: chunked transfer encoding is de-framed, then a gzip or
+    deflate Content-Encoding is decompressed (both total — damage
+    yields the bytes recovered so far / the raw body, never an
+    exception)."""
     for sep in (b"\r\n\r\n", b"\n\n"):
         idx = payload.find(sep)
         if 0 <= idx < 64 * 1024:  # header blocks are small
             head = payload[:idx].lower()
             body = payload[idx + len(sep):]
-            if (
-                b"transfer-encoding:" in head
-                and b"chunked" in head.split(b"transfer-encoding:", 1)[1][:64]
-            ):
-                return _dechunk(body)
+            if b"chunked" in _header_value(head, b"transfer-encoding"):
+                body = _dechunk(body)
+            ce = _header_value(head, b"content-encoding")
+            if ce in (b"gzip", b"x-gzip"):
+                try:
+                    body = gzip.decompress(body)
+                except (OSError, EOFError):
+                    pass  # mislabeled/damaged: keep raw bytes
+            elif ce == b"deflate":
+                import zlib
+
+                for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+                    # servers send both zlib-wrapped and raw deflate
+                    # under the same label; try wrapped first
+                    try:
+                        body = zlib.decompress(body, wbits)
+                        break
+                    except zlib.error:
+                        continue
             return body
     return payload
 

@@ -90,6 +90,46 @@ def test_chunked_transfer_encoding_decoded():
     assert recs3[0]["html"] == b"abcde"
 
 
+def test_content_encoding_decoded():
+    import zlib
+
+    from dce_spark.spark.warc import iter_warc_records
+
+    def rec(url, http):
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+
+    page = b"<html><body><p>compressed page body</p></body></html>"
+    gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+          + gzip.compress(page))
+    fl = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+          + zlib.compress(page))
+    raw_fl = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+              + zlib.compress(page)[2:-4])  # raw-deflate variant
+    # chunked + gzip composed, as on the wire
+    gzc = gzip.compress(page)
+    chunked_gz = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n"
+        + hex(len(gzc))[2:].encode() + b"\r\n" + gzc + b"\r\n0\r\n\r\n"
+    )
+    mislabeled = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+                  b"not actually gzip")
+    raw = (rec("https://w.test/gz", gz) + rec("https://w.test/fl", fl)
+           + rec("https://w.test/rfl", raw_fl)
+           + rec("https://w.test/cgz", chunked_gz)
+           + rec("https://w.test/bad", mislabeled))
+    out = {r["url"]: r["html"] for r in iter_warc_records(raw)}
+    assert out["https://w.test/gz"] == page
+    assert out["https://w.test/fl"] == page
+    assert out["https://w.test/rfl"] == page
+    assert out["https://w.test/cgz"] == page
+    assert out["https://w.test/bad"] == b"not actually gzip"
+
+
 def test_gzip_truncated_member_keeps_earlier_members():
     # streaming decode: records from complete members survive a final
     # member cut mid-stream (crawl-scale truncation costs rows, not jobs)
