@@ -1200,6 +1200,58 @@ def test_span_dedup_hot_key_split_identical(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_line_dedup_matches_python_replica_random(spark):
+    """The join-free winner-projection formulation against a
+    brute-force Python replica over randomized corpora with heavy
+    cross-doc repetition."""
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"line {i} text" for i in range(12)] + ["", "  "]
+    for trial in range(3):
+        docs = [
+            (d, "\n".join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 9))))
+            for d in range(8)
+        ]
+        # replica: first (doc_id, pos) owner per non-blank line wins
+        seen, keep = set(), {d: [] for d, _ in docs}
+        for d, text in docs:
+            for pos, ln in enumerate(text.split("\n")):
+                if ln.strip() == "":
+                    keep[d].append(ln)
+                elif ln not in seen:
+                    seen.add(ln)
+                    keep[d].append(ln)
+        expected = {d: "\n".join(ls) for d, ls in keep.items()}
+        out = {r.doc_id: r.text_dedup for r in textops.line_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()}
+        assert out == expected, trial
+
+
+def test_span_dedup_hot_cold_equivalence_random(spark):
+    """Randomized corpora: the hot/cold two-phase join-back is
+    byte-identical to the plain-join path at every threshold."""
+    import random
+
+    rng = random.Random(31)
+    sents = [f"Sentence number {i} here." for i in range(6)]
+    for trial in range(3):
+        docs = [
+            (d, " ".join(rng.choice(sents)
+                         for _ in range(rng.randint(3, 10))))
+            for d in range(10)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        plain = sorted(map(tuple, textops.span_dedup(
+            df, n=3, hot_min_count=1 << 40).collect()))
+        for hot_min in (2, 3, 5):
+            hot = sorted(map(tuple, textops.span_dedup(
+                df, n=3, hot_min_count=hot_min).collect()))
+            assert hot == plain, (trial, hot_min)
+
+
 def test_span_dedup_within_doc_repeat(spark):
     # the same triple twice inside ONE document: the second
     # occurrence (positions 3-5) is dropped, the first kept
