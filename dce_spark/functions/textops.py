@@ -973,19 +973,59 @@ def minhash_bands(
     )
 
 
-def minhash_dedup(documents: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
+def minhash_band_table(
+    documents: DataFrame, n_seeds: int = 8, n_bands: int = 2,
+    k: int = 3, portable_hash: bool = True,
+) -> DataFrame:
+    """General (bands x rows) MinHash LSH in LONG form: one
+    (doc_id, band) row per band — the tunable API behind the fixed
+    2-band ``minhash_bands`` (whose wide schema the oracles pin).
+    More bands with fewer rows each = higher candidate recall at
+    lower similarity (the standard S-curve trade:
+    P(candidate) = 1-(1-j^r)^b); n_seeds must divide into n_bands.
+    At n_bands=2 the band values are bit-identical to
+    minhash_bands' band_a/band_b."""
+    if n_seeds % n_bands != 0:
+        raise ValueError("n_bands must divide n_seeds")
+    r = n_seeds // n_bands
+    sh = shingle_table(documents, k)
+    if portable_hash:
+        seed_hash = lambda s: F.md5(  # noqa: E731
+            F.concat(F.lit(f"{s}:"), F.col("shingle"))
+        )
+        band_hash = lambda cols: F.md5(F.concat(*cols))  # noqa: E731
+        cast = lambda c: c  # noqa: E731
+    else:
+        seed_hash = lambda s: F.xxhash64(  # noqa: E731
+            F.lit(f"{s}:"), F.col("shingle")
+        )
+        band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
+        cast = lambda c: c.cast("string")  # noqa: E731
+    aggs = [F.min(seed_hash(s)).alias(f"m{s}") for s in range(n_seeds)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = F.array(*[
+        cast(band_hash([F.col(f"m{s}")
+                        for s in range(b * r, (b + 1) * r)]))
+        for b in range(n_bands)
+    ])
+    return sig.select("doc_id", F.explode(bands).alias("band"))
+
+
+def minhash_dedup(
+    documents: DataFrame, n_seeds: int = 8, k: int = 3,
+    n_bands: int = 2,
+) -> DataFrame:
     """Near-dup dedup decision: among docs sharing an LSH band, keep the
     smallest doc_id (the standard minhash-band dedup pass; at scale the
     exact-jaccard verify runs only within these buckets).
+    ``n_bands`` tunes candidate recall (see minhash_band_table); the
+    default 2 matches the oracled minhash_bands layout exactly.
 
     The decision table is TOTAL over the input: documents too short to
     shingle (< k tokens) produce no bands, so they are left-joined back
     and kept as their own keepers — a consumer can treat this as a
     complete keep/drop decision."""
-    bands = minhash_bands(documents, n_seeds, k)
-    a = bands.select("doc_id", F.col("band_a").alias("band"))
-    b = bands.select("doc_id", F.col("band_b").alias("band"))
-    both = a.unionByName(b)
+    both = minhash_band_table(documents, n_seeds, n_bands, k)
     keeper = both.groupBy("band").agg(F.min("doc_id").alias("keep_id"))
     decided = (
         both.join(keeper, "band")
@@ -1125,7 +1165,8 @@ def label_components(
 
 
 def minhash_dedup_cc(
-    documents: DataFrame, n_seeds: int = 8, k: int = 3
+    documents: DataFrame, n_seeds: int = 8, k: int = 3,
+    n_bands: int = 2,
 ) -> DataFrame:
     """Transitive-closure dedup decision: cluster_id is the smallest
     doc_id in the doc's CONNECTED COMPONENT of the band-sharing graph.
@@ -1142,10 +1183,7 @@ def minhash_dedup_cc(
 
     Total over the input: shingle-less docs are their own clusters.
     """
-    bands = minhash_bands(documents, n_seeds, k)
-    memb = bands.select("doc_id", F.col("band_a").alias("band")).unionByName(
-        bands.select("doc_id", F.col("band_b").alias("band"))
-    )
+    memb = minhash_band_table(documents, n_seeds, n_bands, k)
     comp = label_components(memb)
     all_docs = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
     total = all_docs.join(

@@ -910,6 +910,49 @@ def test_c4_filter_rules(spark):
     assert row.n_kept_lines == 3 and row.kept
 
 
+def test_minhash_band_table_general(spark):
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(10):
+        base = [rng.choice(vocab) for _ in range(20)]
+        edited = list(base)
+        for _ in range(rng.randint(2, 5)):  # near-dup partner
+            edited[rng.randrange(20)] = rng.choice(vocab)
+        rows.append((2 * d, " ".join(base), "en", "s", 0))
+        rows.append((2 * d + 1, " ".join(edited), "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    # n_bands=2 long form == the oracled wide minhash_bands, exactly
+    wide = textops.minhash_bands(docs)
+    wide_set = set()
+    for r in wide.collect():
+        wide_set.add((r.doc_id, r.band_a))
+        wide_set.add((r.doc_id, r.band_b))
+    long2 = {(r.doc_id, r.band)
+             for r in textops.minhash_band_table(docs).collect()}
+    assert long2 == wide_set
+
+    def n_candidate_pairs(n_bands):
+        t = textops.minhash_band_table(docs, n_bands=n_bands)
+        t2 = t.withColumnRenamed("doc_id", "doc_b")
+        return (
+            t.join(t2, "band")
+            .filter("doc_id < doc_b")
+            .select("doc_id", "doc_b").distinct().count()
+        )
+
+    # more, narrower bands -> candidate recall can only grow
+    c2, c4, c8 = (n_candidate_pairs(b) for b in (2, 4, 8))
+    assert c2 <= c4 <= c8
+    assert c8 > c2  # and genuinely grows on this corpus
+    with pytest.raises(ValueError):
+        textops.minhash_band_table(docs, n_seeds=8, n_bands=3)
+
+
 def test_chunk_documents_windows(spark):
     text = " ".join(f"t{i}" for i in range(50))
     docs = spark.createDataFrame(
