@@ -239,3 +239,54 @@ def test_stream_historical_bloom_gate(spark, tmp_path):
         q.stop()
     urls = sorted(r.url for r in spark.read.parquet(out_dir).collect())
     assert urls == ["https://a.test/new1", "https://a.test/new2"]
+
+
+def test_stream_ingest_job_cli_once(spark, tmp_path):
+    """jobs/stream_ingest_job.py --once as a subprocess: historical
+    Bloom gate + canonical dedup + extraction drain to parquet."""
+    import datetime as dt
+    import json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from dce_spark.functions.textops import bloom_filter_words
+    from dce_spark.functions.urlops import url_normalize_col
+    from dce_spark.spark.schema import PAGES_SCHEMA
+    from pyspark.sql import functions as F
+
+    repo = Path(__file__).resolve().parent.parent
+    hist = spark.createDataFrame(
+        [("https://j.test/seen",)], ["url"]
+    ).select(url_normalize_col(F.col("url")).alias("url_key"))
+    flt_dir = str(tmp_path / "flt")
+    bloom_filter_words(hist, n_bits=1 << 14, text_col="url_key")\
+        .write.parquet(flt_dir)
+
+    ts = dt.datetime(2025, 6, 1, 12, 0, 0)
+    html = b"<html><body><p>Stream job page body text.</p></body></html>"
+    rows = [
+        ("https://j.test/seen?utm_source=x", ts, html, None, "en"),
+        ("https://j.test/new", ts, html, None, "en"),
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(in_dir)
+
+    r = subprocess.run(
+        [
+            _sys.executable, "jobs/stream_ingest_job.py",
+            "--input", in_dir,
+            "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--historical", flt_dir,
+            "--historical-n-bits", str(1 << 14),
+            "--canonical-urls", "--once",
+        ],
+        capture_output=True, cwd=repo, timeout=600, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats == {
+        "rows_out": 1, "urls_out": 1, "historical_gate": True,
+        "output": str(tmp_path / "out"),
+    }
