@@ -59,6 +59,10 @@ def _bloom_positions(text, n_hashes: int, n_bits: int):
     """Array of n_hashes deterministic bit positions for one text:
     seeded md5 -> 60-bit int -> pmod n_bits. Same construction as the
     minhash seeds — engine-independent, no native hash functions."""
+    if n_hashes < 1 or n_bits < 1:
+        # n_hashes=0 would make every probe vacuously a member (the
+        # fold over zero positions), silently flagging ALL docs seen
+        raise ValueError("n_hashes and n_bits must be >= 1")
     return F.array(*[
         F.pmod(
             F.conv(
