@@ -314,3 +314,141 @@ def sample_frames(
     return media.select("media_id", "kind", "payload").mapInPandas(
         kernel, FRAME_SCHEMA
     )
+
+
+def _parse_image_header(b: bytes):
+    """(format, width, height) from container headers ALONE — no codec:
+    PNG IHDR, GIF logical-screen descriptor, JPEG SOFn scan, BMP
+    DIB header, WEBP VP8/VP8L/VP8X chunks. Returns (None, None, None)
+    for unrecognized/truncated bytes; never raises. This is REAL
+    parsing (unlike pixel decode, which stays behind DecodeBackend):
+    dimension/format metadata is what corpus filters actually key on
+    (aspect-ratio gates, min-resolution gates, format allowlists)."""
+    if b is None or len(b) < 10:
+        return None, None, None
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+            )
+        if b[:2] == b"BM" and len(b) >= 26:
+            return (
+                "bmp",
+                int.from_bytes(b[18:22], "little", signed=True),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+            )
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+            chunk = b[12:16]
+            if chunk == b"VP8X":
+                return (
+                    "webp",
+                    int.from_bytes(b[24:27], "little") + 1,
+                    int.from_bytes(b[27:30], "little") + 1,
+                )
+            if chunk == b"VP8L" and b[20] == 0x2F:
+                bits = int.from_bytes(b[21:25], "little")
+                return (
+                    "webp",
+                    (bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1,
+                )
+            if chunk == b"VP8 " and len(b) >= 30:
+                return (
+                    "webp",
+                    int.from_bytes(b[26:28], "little") & 0x3FFF,
+                    int.from_bytes(b[28:30], "little") & 0x3FFF,
+                )
+            return "webp", None, None
+        if b[:2] == b"\xff\xd8":  # JPEG: scan markers for SOFn
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                if marker == 0xDA:  # start of scan: dimensions passed
+                    break
+                seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+                if seg_len < 2:
+                    break
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"),
+                    )
+                i += 2 + seg_len
+            return "jpeg", None, None
+    except (IndexError, ValueError):
+        pass
+    return None, None, None
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("meta_matches", T.BooleanType(), True),
+    ]
+)
+
+
+def image_meta(media: DataFrame) -> DataFrame:
+    """Header-derived image metadata for every media row:
+    (media_id, format, width, height, n_bytes, meta_matches) —
+    `meta_matches` cross-checks the parsed dimensions against the
+    table's DECLARED width/height metadata (null when either side is
+    unknown), the standard corpus-hygiene check for mislabeled media.
+    Arrow-batched mapInPandas; per-row work is bounded header
+    scanning, so the kernel is payload-size-independent except for
+    pathological JPEGs (marker scan capped by segment lengths)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = (
+                    bytes(rec.payload) if rec.payload is not None else b""
+                )
+                fmt, w, h = _parse_image_header(payload)
+                matches = None
+                # declared metadata arrives as NaN (not None) for null
+                # ints in pandas — notna covers both representations
+                if (
+                    w is not None
+                    and h is not None
+                    and pd.notna(rec.width)
+                    and pd.notna(rec.height)
+                ):
+                    matches = bool(
+                        w == int(rec.width) and h == int(rec.height)
+                    )
+                rows.append(
+                    (rec.media_id, fmt, w, h, len(payload), matches)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "n_bytes", "meta_matches",
+                ],
+            )
+
+    cols = ["media_id", "payload", "width", "height"]
+    return media.select(*cols).mapInPandas(kernel, IMAGE_META_SCHEMA)
