@@ -1948,3 +1948,28 @@ def chunk_documents(
         F.col("c.chunk").alias("chunk_text"),
         F.col("c.n_tok").alias("n_tokens"),
     )
+
+
+def exact_k_sample(
+    documents: DataFrame, n: int, id_col: str = "doc_id",
+    salt: str = "ek1",
+) -> DataFrame:
+    """EXACT-size deterministic sample: the n documents with the
+    smallest md5(salt:id) draw — the eval-set / holdout carve-out
+    where "about 10%" (rate-based deterministic_sample) isn't
+    acceptable and the set must be stable across engines, runs, and
+    partitionings.
+
+    Scale shape: orderBy(draw).limit(n) plans as TakeOrderedAndProject
+    — per-partition top-n heaps merged at the driver, NO global sort
+    shuffle; memory is O(n) per task. Ties are impossible (md5 of
+    distinct ids), so the selection is total-order-deterministic."""
+    draw = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    return (
+        documents.withColumn("_draw", draw)
+        .orderBy("_draw")
+        .limit(n)
+        .drop("_draw")
+    )

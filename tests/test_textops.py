@@ -1306,3 +1306,59 @@ def test_span_dedup_within_doc_repeat(spark):
     r = textops.span_dedup(docs, n=3).collect()[0]
     assert r.n_sentences == 7
     assert r.text_dedup == "Aa aa | Bb bb | Cc cc | tail end"
+
+
+def test_exact_k_sample_deterministic_topn(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(300)], ["doc_id", "text"]
+    )
+    a = sorted(r.doc_id for r in textops.exact_k_sample(docs, 25).collect())
+    assert len(a) == 25
+    # identical under repartitioning and re-evaluation
+    b = sorted(r.doc_id for r in textops.exact_k_sample(
+        docs.repartition(17), 25).collect())
+    assert a == b
+    # growing k extends, never reshuffles, the selection (prefix
+    # property of a fixed total order)
+    c = sorted(r.doc_id for r in textops.exact_k_sample(docs, 40).collect())
+    assert set(a) <= set(c)
+    # different salt = different (deterministic) set
+    d = sorted(r.doc_id for r in textops.exact_k_sample(
+        docs, 25, salt="other").collect())
+    assert d != a
+    # the plan is a top-n, not a global sort
+    plan = textops.exact_k_sample(docs, 25)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dup_ngram_fraction_matches_python_replica_random(spark):
+    import random
+
+    rng = random.Random(9)
+    vocab = [f"v{i}" for i in range(8)]
+    for trial in range(3):
+        docs = [
+            (d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 14))), "s")
+            for d in range(12)
+        ]
+        k = 3
+        sh = {
+            d: {" ".join(t.split()[i:i + k])
+                for i in range(len(t.split()) - k + 1)}
+            for d, t, _ in docs
+        }
+        from collections import Counter
+        df_counts = Counter(s for ss in sh.values() for s in ss)
+        expected = {}
+        for d, _, _ in docs:
+            n = len(sh[d])
+            dup = sum(1 for s in sh[d] if df_counts[s] >= 2)
+            expected[d] = (n, round(dup / n, 6) if n else 0.0)
+        out = {r.doc_id: (r.n_ngrams, r.dup_ngram_frac)
+               for r in textops.dup_ngram_fraction(
+                   spark.createDataFrame(
+                       docs, ["doc_id", "text", "source"]),
+                   k=k).collect()}
+        assert out == expected, trial
