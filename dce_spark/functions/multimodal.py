@@ -452,3 +452,98 @@ def image_meta(media: DataFrame) -> DataFrame:
 
     cols = ["media_id", "payload", "width", "height"]
     return media.select(*cols).mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
+def _parse_audio_header(b: bytes):
+    """(format, sample_rate, channels, duration_ms) from container
+    headers alone — WAV fmt chunk (exact duration from data size) and
+    MP3 first MPEG-1 Layer III frame (bitrate-based estimate over the
+    payload length; None duration for VBR-ambiguous cases is NOT
+    attempted — a constant-bitrate estimate is the standard corpus
+    signal). Returns (None, None, None, None) when unrecognized."""
+    if b is None or len(b) < 12:
+        return None, None, None, None
+    try:
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pos, sr, ch, byte_rate, data_len = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos:pos + 4]
+                clen = int.from_bytes(b[pos + 4:pos + 8], "little")
+                if cid == b"fmt " and pos + 24 <= len(b):
+                    ch = int.from_bytes(b[pos + 10:pos + 12], "little")
+                    sr = int.from_bytes(b[pos + 12:pos + 16], "little")
+                    byte_rate = int.from_bytes(
+                        b[pos + 16:pos + 20], "little"
+                    )
+                elif cid == b"data":
+                    data_len = clen
+                pos += 8 + clen + (clen & 1)
+            dur = None
+            if byte_rate and data_len is not None:
+                dur = int(data_len * 1000 // byte_rate)
+            return "wav", sr, ch, dur
+        if b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+            start = 0
+            if b[:3] == b"ID3" and len(b) >= 10:
+                # syncsafe 28-bit tag size
+                start = 10 + (
+                    (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+                )
+            if start + 4 > len(b):
+                return "mp3", None, None, None
+            h = b[start:start + 4]
+            if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+                return "mp3", None, None, None
+            # MPEG-1 Layer III tables
+            bitrates = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                        192, 224, 256, 320, 0]
+            rates = [44100, 48000, 32000, 0]
+            br = bitrates[(h[2] >> 4) & 0xF]
+            sr = rates[(h[2] >> 2) & 0x3]
+            ch = 1 if (h[3] >> 6) & 0x3 == 3 else 2
+            if not br or not sr:
+                return "mp3", sr or None, ch, None
+            dur = int((len(b) - start) * 8 * 1000 // (br * 1000))
+            return "mp3", sr, ch, dur
+    except (IndexError, ValueError):
+        pass
+    return None, None, None, None
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """Header-derived audio metadata (media_id, format, sample_rate,
+    channels, duration_ms, n_bytes) — WAV exact, MP3 CBR-estimated;
+    same codec-free discipline as image_meta."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = (
+                    bytes(rec.payload) if rec.payload is not None else b""
+                )
+                fmt, sr, ch, dur = _parse_audio_header(payload)
+                rows.append(
+                    (rec.media_id, fmt, sr, ch, dur, len(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "format", "sample_rate",
+                         "channels", "duration_ms", "n_bytes"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, AUDIO_META_SCHEMA
+    )

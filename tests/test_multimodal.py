@@ -149,3 +149,46 @@ def test_image_meta_spark(spark):
     assert (out[3].format, out[3].width) == ("jpeg", 32)
     assert out[3].meta_matches is None  # no declared side to check
     assert out[4].format is None and out[4].n_bytes == 7
+
+
+def _wav(sr=8000, ch=1, seconds=2):
+    import struct
+    byte_rate = sr * ch * 2
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, ch, sr, byte_rate, ch * 2, 16)
+    n = byte_rate * seconds
+    data = b"data" + struct.pack("<I", n) + b"\x00" * n
+    return (b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data))
+            + b"WAVE" + fmt + data)
+
+
+def test_parse_audio_header_formats():
+    from dce_spark.functions.multimodal import _parse_audio_header
+
+    assert _parse_audio_header(_wav(8000, 1, 2)) == ("wav", 8000, 1, 2000)
+    assert _parse_audio_header(_wav(44100, 2, 1)) == ("wav", 44100, 2, 1000)
+    # MP3 CBR 128kbps @44100: 4000 bytes ~ 250 ms
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 3996
+    assert _parse_audio_header(mp3) == ("mp3", 44100, 2, 250)
+    # ID3v2-prefixed frame
+    id3 = (b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"x" * 10
+           + b"\xff\xfb\x90\x00" + b"\x00" * 996)
+    fmt, sr, ch, dur = _parse_audio_header(id3)
+    assert (fmt, sr, ch) == ("mp3", 44100, 2)
+    assert _parse_audio_header(b"junk bytes not audio") == (
+        None, None, None, None)
+
+
+@pytest.mark.spark
+def test_audio_meta_spark(spark):
+    from dce_spark.functions.multimodal import MEDIA_SCHEMA, audio_meta
+
+    rows = [
+        (1, "audio", _wav(16000, 2, 1), "audio/wav", None, None, 1000),
+        (2, "audio", b"noise", "audio/mpeg", None, None, None),
+    ]
+    out = {r.media_id: r for r in audio_meta(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert (out[1].format, out[1].sample_rate, out[1].channels,
+            out[1].duration_ms) == ("wav", 16000, 2, 1000)
+    assert out[2].format is None
