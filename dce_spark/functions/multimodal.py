@@ -547,3 +547,97 @@ def audio_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, AUDIO_META_SCHEMA
     )
+
+
+def _parse_video_header(b: bytes):
+    """(format, width, height, duration_ms) from the MP4/QuickTime box
+    structure (ftyp -> moov -> mvhd for timescale/duration, trak ->
+    tkhd for the presentation matrix's width/height) and the WebM/
+    Matroska EBML magic (format only — vint-encoded duration is not
+    worth a full EBML parser here). Codec-free, bounded walk, total:
+    damage returns what was recovered."""
+    if b is None or len(b) < 12:
+        return None, None, None, None
+    try:
+        if b[:4] == b"\x1aE\xdf\xa3":
+            return "webm", None, None, None
+        if b[4:8] not in (b"ftyp", b"moov", b"mdat", b"wide", b"free"):
+            return None, None, None, None
+        dur_ms = width = height = None
+
+        def walk(pos, end, depth):
+            nonlocal dur_ms, width, height
+            while pos + 8 <= end and depth < 8:
+                size = int.from_bytes(b[pos:pos + 4], "big")
+                box = b[pos + 4:pos + 8]
+                if size == 1 and pos + 16 <= end:
+                    size = int.from_bytes(b[pos + 8:pos + 16], "big")
+                if size < 8:
+                    return
+                body = pos + 8
+                if box == b"mvhd" and body + 20 <= end:
+                    ver = b[body]
+                    if ver == 1 and body + 28 <= end:
+                        ts = int.from_bytes(b[body + 20:body + 24], "big")
+                        dur = int.from_bytes(b[body + 24:body + 32], "big")
+                    else:
+                        ts = int.from_bytes(b[body + 12:body + 16], "big")
+                        dur = int.from_bytes(b[body + 16:body + 20], "big")
+                    if ts:
+                        dur_ms = int(dur * 1000 // ts)
+                elif box == b"tkhd" and body + 84 <= end:
+                    ver = b[body]
+                    # v0: 24 bytes of times/ids + 52 bytes layer/
+                    # matrix = width at +76; v1 durations add 12
+                    off = body + (88 if ver == 1 else 76)
+                    if off + 8 <= end and width is None:
+                        # 16.16 fixed point
+                        w = int.from_bytes(b[off:off + 4], "big") >> 16
+                        h = int.from_bytes(b[off + 4:off + 8], "big") >> 16
+                        if w and h:
+                            width, height = w, h
+                elif box in (b"moov", b"trak"):
+                    walk(body, min(pos + size, end), depth + 1)
+                pos += size
+
+        walk(0, len(b), 0)
+        return "mp4", width, height, dur_ms
+    except (IndexError, ValueError):
+        return None, None, None, None
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def video_meta(media: DataFrame) -> DataFrame:
+    """Header-derived video metadata — MP4 box walk (exact duration
+    from mvhd, dims from tkhd), WebM magic; same codec-free
+    discipline as image_meta/audio_meta."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = (
+                    bytes(rec.payload) if rec.payload is not None else b""
+                )
+                fmt, w, h, dur = _parse_video_header(payload)
+                rows.append((rec.media_id, fmt, w, h, dur, len(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "format", "width", "height",
+                         "duration_ms", "n_bytes"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, VIDEO_META_SCHEMA
+    )

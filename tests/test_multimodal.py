@@ -192,3 +192,46 @@ def test_audio_meta_spark(spark):
     assert (out[1].format, out[1].sample_rate, out[1].channels,
             out[1].duration_ms) == ("wav", 16000, 2, 1000)
     assert out[2].format is None
+
+
+def _mp4(w=640, h=360, dur_ms=2500, timescale=1000):
+    def box(name, payload):
+        return (len(payload) + 8).to_bytes(4, "big") + name + payload
+    mvhd = box(b"mvhd", b"\x00" * 12 + timescale.to_bytes(4, "big")
+               + (dur_ms * timescale // 1000).to_bytes(4, "big")
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00" * 76 + ((w << 16).to_bytes(4, "big"))
+               + ((h << 16).to_bytes(4, "big")))
+    return (box(b"ftyp", b"isom" + b"\x00" * 4)
+            + box(b"moov", mvhd + box(b"trak", tkhd)))
+
+
+def test_parse_video_header_formats():
+    from dce_spark.functions.multimodal import _parse_video_header
+
+    assert _parse_video_header(_mp4(640, 360, 2500)) == (
+        "mp4", 640, 360, 2500)
+    assert _parse_video_header(_mp4(1920, 1080, 90000)) == (
+        "mp4", 1920, 1080, 90000)
+    assert _parse_video_header(b"\x1a\x45\xdf\xa3" + b"\x00" * 20) == (
+        "webm", None, None, None)
+    assert _parse_video_header(b"definitely not a video") == (
+        None, None, None, None)
+    # truncated moov: format recognized, fields None — never raises
+    cut = _parse_video_header(_mp4()[:40])
+    assert cut[0] == "mp4"
+
+
+@pytest.mark.spark
+def test_video_meta_spark(spark):
+    from dce_spark.functions.multimodal import MEDIA_SCHEMA, video_meta
+
+    rows = [
+        (1, "video", _mp4(320, 240, 1500), "video/mp4", None, None, None),
+        (2, "video", b"noise", "video/mp4", None, None, None),
+    ]
+    out = {r.media_id: r for r in video_meta(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert (out[1].format, out[1].width, out[1].height,
+            out[1].duration_ms) == ("mp4", 320, 240, 1500)
+    assert out[2].format is None
