@@ -641,3 +641,51 @@ def video_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, VIDEO_META_SCHEMA
     )
+
+
+def curate_media(
+    media: DataFrame, min_width: int = 64, min_height: int = 64,
+) -> DataFrame:
+    """Media-corpus curation decision, mirroring the text side's
+    composed gates: (media_id, keep, reason) where a row is dropped
+    for the FIRST failing stage —
+    'unparseable' (no recognized container header), 'duplicate'
+    (identical payload bytes seen under a smaller media_id — exact
+    dedup on md5(payload), one hash shuffle), or 'too_small'
+    (parsed dimensions under the floor; images only — formats
+    without parsed dims pass the size gate). Total over input."""
+    from pyspark.sql import functions as F
+
+    meta = image_meta(media)
+    fp = media.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.md5(F.col("payload")).alias("_fp"),
+    )
+    keep_fp = fp.groupBy("_fp").agg(
+        F.min("media_id").alias("_keep_id")
+    )
+    decided = (
+        meta.join(fp, "media_id")
+        .join(keep_fp, "_fp")
+        .select(
+            "media_id",
+            F.when(F.col("format").isNull(), F.lit("unparseable"))
+            .when(F.col("media_id") != F.col("_keep_id"),
+                  F.lit("duplicate"))
+            .when(
+                F.col("width").isNotNull()
+                & F.col("height").isNotNull()
+                & (
+                    (F.col("width") < min_width)
+                    | (F.col("height") < min_height)
+                ),
+                F.lit("too_small"),
+            )
+            .alias("reason"),
+        )
+    )
+    return decided.select(
+        "media_id",
+        F.col("reason").isNull().alias("keep"),
+        "reason",
+    )

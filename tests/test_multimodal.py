@@ -235,3 +235,24 @@ def test_video_meta_spark(spark):
     assert (out[1].format, out[1].width, out[1].height,
             out[1].duration_ms) == ("mp4", 320, 240, 1500)
     assert out[2].format is None
+
+
+@pytest.mark.spark
+def test_curate_media_gates(spark):
+    from dce_spark.functions.multimodal import MEDIA_SCHEMA, curate_media
+
+    big, small = _png(640, 480), _png(8, 8)
+    rows = [
+        (1, "image", big, "image/png", None, None, None),
+        (2, "image", big, "image/png", None, None, None),   # dup of 1
+        (3, "image", small, "image/png", None, None, None),  # tiny
+        (4, "image", b"junk bytes", "image/png", None, None, None),
+        (5, "image", _gif(100, 100), "image/gif", None, None, None),
+    ]
+    out = {r.media_id: (r.keep, r.reason) for r in curate_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert out[1] == (True, None)
+    assert out[2] == (False, "duplicate")
+    assert out[3] == (False, "too_small")
+    assert out[4] == (False, "unparseable")
+    assert out[5] == (True, None)
