@@ -189,3 +189,63 @@ def test_read_warc_into_extraction(spark, tmp_path):
                         "https://w.test/gz"}
     assert all(r.status == "ok" for r in out.values())
     assert "First page body text" in out["https://w.test/1"].extracted_text
+
+
+@pytest.mark.spark
+def test_warc_to_curated_chunks_end_to_end(spark, tmp_path):
+    """The full composition: WARC archives -> extraction -> documents
+    -> URL-aware curation -> token chunks. Re-crawled urls collapse,
+    near-dup template pages dedup, chunks cover every survivor."""
+    from pyspark.sql import functions as F
+
+    from dce_spark.functions.curation import curate_corpus
+    from dce_spark.functions.textops import chunk_documents
+    from dce_spark.functions.urlops import url_host_col
+    from dce_spark.spark.pipeline import extract_pages
+    from dce_spark.spark.warc import read_warc
+
+    def page(i):
+        body = " ".join(
+            f"token{j} distinct article words for page {i} item"
+            for j in range(20)
+        )
+        return f"<html><body><article><p>{body}</p></article></body></html>"
+
+    raw = b"".join(
+        gzip.compress(make_record(f"https://e2e.test/p/{i}",
+                                  page(i).encode()))
+        for i in list(range(8)) + [0, 1]  # two re-crawled urls
+    )
+    (tmp_path / "c.warc.gz").write_bytes(raw)
+
+    pages = read_warc(spark, str(tmp_path))
+    extracted = extract_pages(pages, mode="content")
+    ts_map = pages.groupBy("url").agg(
+        F.max(F.col("warc_ts").cast("long")).alias("ts"))
+    docs = (
+        extracted.filter(F.col("status") == "ok")
+        .dropDuplicates(["url"])
+        .join(ts_map, "url")
+        .select(
+            F.xxhash64("url").alias("doc_id"),
+            F.col("extracted_text").alias("text"),
+            url_host_col(F.col("url")).alias("source"),
+            "url", "ts",
+        )
+    )
+    shards = curate_corpus(
+        docs, docs.limit(0), min_tokens=10,
+        urls=docs.select("doc_id", "url", "ts"), latest_only=True,
+        token_budget=256,
+    )
+    survivors = docs.join(shards.select("doc_id"), "doc_id", "semi")
+    chunks = chunk_documents(survivors, chunk_tokens=64, overlap=8)
+    n_docs = shards.count()
+    assert 0 < n_docs <= 8  # 8 distinct urls at most survive
+    # every surviving doc yields at least one chunk
+    assert chunks.select("doc_id").distinct().count() == n_docs
+    # chunk text reassembles to the original token stream per doc
+    row = survivors.limit(1).collect()[0]
+    got = [r.chunk_text for r in chunks.filter(
+        F.col("doc_id") == row.doc_id).orderBy("chunk_id").collect()]
+    assert got[0].split(" ")[:8] == row.text.split(" ")[:8]
