@@ -333,10 +333,11 @@ def parse_robots(
     comment-stripped projection-side; a ``User-agent`` line whose
     predecessor is not one STARTS a group (consecutive UA lines form
     one multi-agent header); Allow/Disallow lines belong to the
-    current group; a group applies to ``agent`` when its header names
-    it (case-insensitive) or ``*``, and per the RFC's most-specific-
-    match rule, hosts that have an exact-agent group use ONLY those
-    groups (the ``*`` groups are ignored there). Empty-value rules
+    current group; per RFC 9309 §2.2.1 a group applies to ``agent``
+    when its UA token is a case-insensitive PREFIX of the agent's
+    product token, the longest matching token wins (so agent
+    'databot-news/1.0' obeys a 'databot' group over a 'data' group),
+    and ``*`` groups apply only when nothing matches. Empty-value rules
     ("Disallow:" = unrestricted) are dropped — exactly the
     precondition robots_filter documents. Unknown fields (crawl-delay,
     sitemap) are ignored.
@@ -382,23 +383,32 @@ def parse_robots(
             F.sum(F.when(F.col("starts"), 1).otherwise(0)).over(w),
         )
     )
+    # RFC 9309 §2.2.1 group selection: the crawler obeys the group(s)
+    # whose user-agent token is the LONGEST prefix of its own product
+    # token (case-insensitive); '*' groups apply only when no token
+    # matches at all. match_len encodes that: length of the longest
+    # matching UA value per group, 0 for none.
+    agent_l = agent.lower()
+    ua_val = F.lower(F.col("value"))
+    match_len = F.when(
+        F.lit(agent_l).startswith(ua_val), F.length(ua_val)
+    ).otherwise(F.lit(0))
     uas = (
         flagged.filter(F.col("is_ua"))
         .groupBy("host", "grp")
         .agg(
-            F.max(
-                F.lower(F.col("value")) == agent.lower()
-            ).alias("exact"),
+            F.max(match_len).alias("match_len"),
             F.max(F.col("value") == "*").alias("star"),
         )
     )
-    host_has_exact = uas.groupBy("host").agg(
-        F.max("exact").alias("has_exact")
+    host_best = uas.groupBy("host").agg(
+        F.max("match_len").alias("best")
     )
     selected = (
-        uas.join(host_has_exact, "host")
+        uas.join(host_best, "host")
         .filter(
-            F.when(F.col("has_exact"), F.col("exact"))
+            F.when(F.col("best") > 0,
+                   F.col("match_len") == F.col("best"))
             .otherwise(F.col("star"))
         )
         .select("host", "grp")

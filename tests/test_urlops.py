@@ -262,6 +262,20 @@ def test_parse_robots_group_semantics(spark):
     assert sorted(
         map(tuple, parse_robots(df, agent="DataBot").collect())
     )[0] == ("a.test", False, "/exact")
+    # RFC 9309 longest-prefix selection: a versioned product token
+    # still obeys its vendor group, and the longest token wins
+    assert sorted(
+        map(tuple, parse_robots(df, agent="databot-news/1.0").collect())
+    )[0] == ("a.test", False, "/exact")
+    longest = spark.createDataFrame(
+        [("h.test",
+          "User-agent: data\nDisallow: /short\n"
+          "User-agent: databot\nDisallow: /long\n")],
+        ["host", "body"],
+    )
+    assert sorted(map(tuple, parse_robots(
+        longest, agent="databot-x").collect())) == [
+        ("h.test", False, "/long")]
 
 
 def test_parse_robots_feeds_robots_filter(spark):
