@@ -255,6 +255,27 @@ def test_tfidf_no_window_broadcast_idf(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_chunks_map_only(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_chunks"](spark, SF))
+    # fixed-window chunking is a pure projection: zero shuffles
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_host_quota_single_agg_join(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_host_quota"](spark, SF))
+    # one count aggregate on host + one join back; integer keep rule
+    # stays in codegen — no Python, no window, no cartesian
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
 def test_bloom_dedup_broadcast_probe(spark):
     import __spark_entry__ as e
 

@@ -1362,3 +1362,54 @@ def test_dup_ngram_fraction_matches_python_replica_random(spark):
                        docs, ["doc_id", "text", "source"]),
                    k=k).collect()}
         assert out == expected, trial
+
+
+def test_span_dedup_matches_python_replica_random(spark):
+    """Complete-semantics replica (RE2-style '[.!?] ' split with the
+    terminator consumed, (doc_id,pos) first-owner, n-sentence
+    coverage removal, ' | ' reassembly) vs the operator on random
+    corpora with heavy cross-document span repetition."""
+    import random
+    import re
+
+    rng = random.Random(123)
+    pool = [f"Common sentence {i} text" for i in range(4)] + [
+        f"Rare sentence {i} words" for i in range(12)
+    ]
+
+    def replica(docs, n=3):
+        arrs = {d: re.split(r"[.!?] ", t) for d, t in docs}
+        occ = []
+        for d in sorted(arrs):
+            arr = arrs[d]
+            if len(arr) >= n:
+                for pos in range(len(arr) - n + 1):
+                    occ.append((d, pos, " | ".join(arr[pos:pos + n])))
+        first = {}
+        for d, pos, s in occ:
+            if s not in first or (d, pos) < first[s]:
+                first[s] = (d, pos)
+        covered = {}
+        for d, pos, s in occ:
+            if first[s] != (d, pos):
+                covered.setdefault(d, set()).update(range(pos, pos + n))
+        out = {}
+        for d, arr in arrs.items():
+            keep = [s for i, s in enumerate(arr)
+                    if i not in covered.get(d, set())]
+            out[d] = (" | ".join(keep), len(keep), len(arr))
+        return out
+
+    for trial in range(3):
+        docs = []
+        for d in range(10):
+            sents = [rng.choice(pool)
+                     for _ in range(rng.randint(2, 8))]
+            text = ". ".join(sents) + " end"
+            docs.append((d, text))
+        expected = replica(docs)
+        out = {r.doc_id: (r.text_dedup, r.n_kept, r.n_sentences)
+               for r in textops.span_dedup(
+                   spark.createDataFrame(docs, ["doc_id", "text"]),
+                   n=3).collect()}
+        assert out == expected, trial
