@@ -1973,3 +1973,20 @@ def exact_k_sample(
         .limit(n)
         .drop("_draw")
     )
+
+
+def merge_bloom_filters(*filters: DataFrame) -> DataFrame:
+    """OR-fold packed Bloom tables (bloom_filter_words outputs built
+    with the SAME n_hashes/n_bits) into one: union + one bit_or
+    aggregate on the word key. This is how the historical filter
+    accumulates across crawls WITHOUT ever re-scanning old corpora —
+    crawl N's filter merges with the batch-N+1 filter in
+    O(filter size), and might-contain over the merge behaves exactly
+    as if built from the concatenated corpora (bitwise OR is the
+    Bloom union)."""
+    if not filters:
+        raise ValueError("need at least one filter")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))

@@ -1413,3 +1413,21 @@ def test_span_dedup_matches_python_replica_random(spark):
                    spark.createDataFrame(docs, ["doc_id", "text"]),
                    n=3).collect()}
         assert out == expected, trial
+
+
+def test_merge_bloom_filters_equals_union_build(spark):
+    a = spark.createDataFrame(
+        [(i, f"alpha doc {i}") for i in range(40)], ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(100 + i, f"beta doc {i}") for i in range(40)],
+        ["doc_id", "text"])
+    n_bits = 1 << 12
+    merged = {r.word: r.bits for r in textops.merge_bloom_filters(
+        textops.bloom_filter_words(a, n_bits=n_bits),
+        textops.bloom_filter_words(b, n_bits=n_bits),
+    ).collect()}
+    direct = {r.word: r.bits for r in textops.bloom_filter_words(
+        a.unionByName(b), n_bits=n_bits).collect()}
+    assert merged == direct
+    with pytest.raises(ValueError):
+        textops.merge_bloom_filters()
