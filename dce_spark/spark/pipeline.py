@@ -138,6 +138,7 @@ def run_pipeline(
     sink: str = "parquet",
     table_provider: str = "iceberg",
     manifest_path: str | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the extraction job.
 
@@ -178,7 +179,17 @@ def run_pipeline(
             "manifests); the catalog table name cannot serve as one"
         )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    pages = spark.read.parquet(input_path)
+    if input_format == "warc":
+        # straight-from-crawl ingestion: .warc(.gz) archives through
+        # the streaming record reader; no bucket column exists, so the
+        # runtime url-hash salting path below applies
+        from dce_spark.spark.warc import read_warc
+
+        pages = read_warc(spark, input_path)
+    elif input_format == "parquet":
+        pages = spark.read.parquet(input_path)
+    else:
+        raise ValueError(f"unknown input_format: {input_format!r}")
     if "bucket" in pages.columns:
         # Pre-bucketed input (hive layout bucket=k / Iceberg bucket(url)
         # partition spec): the per-commit isin filter becomes a PARTITION

@@ -6,7 +6,11 @@ Usage:
       --input  /path/to/pages_parquet_or_iceberg \
       --output /path/to/extracted \
       [--buckets 256] [--buckets-per-commit 16] [--mode both]
-      [--salt-factor 4] [--max-commits N]
+      [--salt-factor 4] [--max-commits N] [--input-format parquet|warc]
+
+--input-format warc ingests Common-Crawl-style .warc(.gz) archives
+directly (streaming record reader, chunked/Content-Encoding decode)
+through the same bucket-committed, resumable pipeline.
 
 Resumable: rerunning with the same --output continues from the last
 committed bucket manifest. On a cluster, package the library with
@@ -34,6 +38,9 @@ def main() -> None:
                     choices=["content", "article", "both", "all"])
     ap.add_argument("--salt-factor", type=int, default=4)
     ap.add_argument("--max-commits", type=int, default=None)
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "warc"],
+                    help="warc: read .warc(.gz) archives directly")
     args = ap.parse_args()
 
     from dce_spark.spark.pipeline import read_manifest, run_pipeline
@@ -49,6 +56,7 @@ def main() -> None:
         mode=args.mode,
         salt_factor=args.salt_factor,
         max_commits=args.max_commits,
+        input_format=args.input_format,
     )
     manifest = read_manifest(spark, args.output)
     stats = manifest.groupBy().sum("url_count", "pages_ok", "pages_failed").collect()

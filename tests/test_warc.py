@@ -249,3 +249,32 @@ def test_warc_to_curated_chunks_end_to_end(spark, tmp_path):
     got = [r.chunk_text for r in chunks.filter(
         F.col("doc_id") == row.doc_id).orderBy("chunk_id").collect()]
     assert got[0].split(" ")[:8] == row.text.split(" ")[:8]
+
+
+@pytest.mark.spark
+def test_run_pipeline_warc_input_resumable(spark, tmp_path):
+    """The committed-manifest pipeline straight from WARC archives:
+    extraction output + lineage, and a rerun commits nothing new."""
+    from dce_spark.spark.pipeline import read_manifest, run_pipeline
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.warc.gz").write_bytes(
+        b"".join(
+            gzip.compress(make_record(f"https://rp.test/{i}", HTML1))
+            for i in range(6)
+        )
+    )
+    out = str(tmp_path / "out")
+    r1 = run_pipeline(
+        spark, str(tmp_path / "in"), out,
+        buckets=4, buckets_per_commit=2, input_format="warc",
+    )
+    assert r1["committed"] > 0
+    m = read_manifest(spark, out)
+    assert m.groupBy().sum("pages_ok").collect()[0][0] == 6
+    # resume: everything committed, nothing to redo
+    r2 = run_pipeline(
+        spark, str(tmp_path / "in"), out,
+        buckets=4, buckets_per_commit=2, input_format="warc",
+    )
+    assert r2["committed"] == 0
