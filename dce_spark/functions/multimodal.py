@@ -577,9 +577,14 @@ def _parse_video_header(b: bytes):
                 body = pos + 8
                 if box == b"mvhd" and body + 20 <= end:
                     ver = b[body]
-                    if ver == 1 and body + 28 <= end:
+                    if ver == 1 and body + 32 <= end:
                         ts = int.from_bytes(b[body + 20:body + 24], "big")
                         dur = int.from_bytes(b[body + 24:body + 32], "big")
+                    elif ver == 1:
+                        # v1 truncated inside the 64-bit duration:
+                        # the v0 offsets would read matrix bytes, so
+                        # report no duration rather than garbage.
+                        ts = dur = 0
                     else:
                         ts = int.from_bytes(b[body + 12:body + 16], "big")
                         dur = int.from_bytes(b[body + 16:body + 20], "big")
@@ -657,9 +662,12 @@ def curate_media(
     from pyspark.sql import functions as F
 
     meta = image_meta(media)
+    # Null-safe fingerprint: md5(NULL) is NULL and equi-joins drop
+    # NULL keys, which would silently lose null-payload rows from the
+    # decision table (they must surface as keep=false/'unparseable').
     fp = media.select(
         F.col("media_id").cast("long").alias("media_id"),
-        F.md5(F.col("payload")).alias("_fp"),
+        F.md5(F.coalesce(F.col("payload"), F.lit(b""))).alias("_fp"),
     )
     keep_fp = fp.groupBy("_fp").agg(
         F.min("media_id").alias("_keep_id")

@@ -106,11 +106,14 @@ def _header_value(head: bytes, name: bytes) -> bytes:
     """First line-bounded value of an HTTP header in a lowercased
     header block ('' when absent)."""
     key = name + b":"
-    idx = head.find(key)
-    if idx < 0:
-        return b""
-    rest = head[idx + len(key):]
-    return rest.split(b"\n", 1)[0].strip()
+    # Anchor to line starts: a bare substring search would let e.g.
+    # 'x-transfer-encoding: chunked' (or the name inside another
+    # header's value) spoof the match and corrupt a non-chunked body.
+    for line in head.split(b"\n"):
+        line = line.strip()
+        if line.startswith(key):
+            return line[len(key):].strip()
+    return b""
 
 
 def _strip_http_headers(payload: bytes) -> bytes:

@@ -76,12 +76,21 @@ def main() -> None:
             q.processAllAvailable()
         finally:
             q.stop()
-        out = spark.read.parquet(args.output)
+        # A drain where the gate filters every page writes zero part
+        # files; schema inference then raises. That is the realistic
+        # all-duplicates re-crawl case — report rows_out=0 instead of
+        # crashing before the JSON line a scheduler parses.
+        try:
+            out = spark.read.parquet(args.output)
+            rows_out = out.count()
+            urls_out = out.select("url").distinct().count()
+        except Exception:
+            rows_out = urls_out = 0
         print(
             json.dumps(
                 {
-                    "rows_out": out.count(),
-                    "urls_out": out.select("url").distinct().count(),
+                    "rows_out": rows_out,
+                    "urls_out": urls_out,
                     "historical_gate": bool(args.historical),
                     "output": args.output,
                 }

@@ -222,6 +222,34 @@ def test_parse_video_header_formats():
     assert cut[0] == "mp4"
 
 
+def test_parse_video_header_mvhd_v1_truncated_duration():
+    """An mvhd v1 cut inside the 8-byte duration must yield no
+    duration, not a garbage value from a short int.from_bytes read
+    (or from misreading matrix bytes via the v0 offsets)."""
+    from dce_spark.functions.multimodal import _parse_video_header
+
+    def box(name, payload):
+        return (len(payload) + 8).to_bytes(4, "big") + name + payload
+
+    # v1 body: ver/flags(4) + creation(8) + modification(8) +
+    # timescale(4 @ +20) + duration(8 @ +24); stop 2 bytes short of
+    # the duration's end -> body len 30 (old guard +28 passed).
+    mvhd_v1_cut = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                   + (1000).to_bytes(4, "big") + b"\x00" * 6)
+    data = (box(b"ftyp", b"isom" + b"\x00" * 4)
+            + box(b"moov", box(b"mvhd", mvhd_v1_cut)))
+    fmt, w, h, dur = _parse_video_header(data)
+    assert fmt == "mp4" and dur is None
+
+    # and an intact v1 mvhd parses the 64-bit duration exactly
+    mvhd_v1 = (b"\x01\x00\x00\x00" + b"\x00" * 16
+               + (1000).to_bytes(4, "big")
+               + (4321).to_bytes(8, "big") + b"\x00" * 80)
+    data = (box(b"ftyp", b"isom" + b"\x00" * 4)
+            + box(b"moov", box(b"mvhd", mvhd_v1)))
+    assert _parse_video_header(data)[3] == 4321
+
+
 @pytest.mark.spark
 def test_video_meta_spark(spark):
     from dce_spark.functions.multimodal import MEDIA_SCHEMA, video_meta
@@ -248,11 +276,16 @@ def test_curate_media_gates(spark):
         (3, "image", small, "image/png", None, None, None),  # tiny
         (4, "image", b"junk bytes", "image/png", None, None, None),
         (5, "image", _gif(100, 100), "image/gif", None, None, None),
+        (6, "image", None, "image/png", None, None, None),  # null payload
     ]
     out = {r.media_id: (r.keep, r.reason) for r in curate_media(
         spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    # Total over input: the null-payload row must SURVIVE to the
+    # decision table (md5(NULL) would vanish through the equi-joins)
+    assert len(out) == 6
     assert out[1] == (True, None)
     assert out[2] == (False, "duplicate")
     assert out[3] == (False, "too_small")
     assert out[4] == (False, "unparseable")
     assert out[5] == (True, None)
+    assert out[6] == (False, "unparseable")

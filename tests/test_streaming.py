@@ -290,3 +290,51 @@ def test_stream_ingest_job_cli_once(spark, tmp_path):
         "rows_out": 1, "urls_out": 1, "historical_gate": True,
         "output": str(tmp_path / "out"),
     }
+
+
+def test_stream_ingest_job_cli_once_all_filtered(spark, tmp_path):
+    """The realistic all-duplicates re-crawl: every page in the drain
+    is in the historical Bloom filter, the sink gets zero part files,
+    and the job must still exit 0 with a rows_out=0 JSON line (not
+    crash on schema inference over an empty directory)."""
+    import datetime as dt
+    import json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from dce_spark.functions.textops import bloom_filter_words
+    from dce_spark.spark.schema import PAGES_SCHEMA
+
+    repo = Path(__file__).resolve().parent.parent
+    hist = spark.createDataFrame(
+        [("https://j.test/a",), ("https://j.test/b",)], ["url_key"]
+    )
+    flt_dir = str(tmp_path / "flt")
+    bloom_filter_words(hist, n_bits=1 << 14, text_col="url_key")\
+        .write.parquet(flt_dir)
+
+    ts = dt.datetime(2025, 6, 1, 12, 0, 0)
+    html = b"<html><body><p>Already-seen page body.</p></body></html>"
+    rows = [
+        ("https://j.test/a", ts, html, None, "en"),
+        ("https://j.test/b", ts, html, None, "en"),
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(in_dir)
+
+    r = subprocess.run(
+        [
+            _sys.executable, "jobs/stream_ingest_job.py",
+            "--input", in_dir,
+            "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--historical", flt_dir,
+            "--historical-n-bits", str(1 << 14),
+            "--once",
+        ],
+        capture_output=True, cwd=repo, timeout=600, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["rows_out"] == 0 and stats["urls_out"] == 0

@@ -90,6 +90,31 @@ def test_chunked_transfer_encoding_decoded():
     assert recs3[0]["html"] == b"abcde"
 
 
+def test_header_match_is_line_anchored():
+    """Header names must match at line starts only: an
+    'X-Transfer-Encoding: chunked' header (or the token inside another
+    header's value) must NOT trigger de-chunking of a plain body."""
+    from dce_spark.spark.warc import _header_value, iter_warc_records
+
+    page = b"<html><body><p>plain, not chunked at all</p></body></html>"
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"X-Transfer-Encoding: chunked\r\n"
+            b"X-Note: prefer transfer-encoding: chunked here\r\n"
+            b"Content-Type: text/html\r\n\r\n" + page)
+    headers = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: https://w.test/x\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    recs = list(iter_warc_records(headers + http + b"\r\n\r\n"))
+    assert recs[0]["html"] == page
+
+    head = (b"http/1.1 200 ok\nx-content-encoding: gzip\n"
+            b"content-encoding: deflate\ncontent-type: text/html")
+    assert _header_value(head, b"content-encoding") == b"deflate"
+    assert _header_value(head, b"transfer-encoding") == b""
+
+
 def test_content_encoding_decoded():
     import zlib
 
