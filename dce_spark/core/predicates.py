@@ -115,6 +115,24 @@ def is_non_content_text(text: str) -> bool:
     if length < 80:
         return False
 
+    # Prose fast path (dominant for article text): when the
+    # punctuation ratio is at or below the 0.12 floor, every branch
+    # below that could still return True requires a code delimiter —
+    # looks_like_js_blob degenerates to (ad_script_count >= 2 AND
+    # has_code_delimiters), and the config-blob gate degenerates to
+    # has_js_assignment, which also requires has_code_delimiters. So
+    # plain text with no { } ; is classified False after one
+    # translate pass + three C-level scans, skipping the full-string
+    # ascii_lower and the ~10 marker counts.
+    p_ratio = punctuation_ratio(trimmed)
+    if (
+        p_ratio <= _THR_012
+        and "{" not in trimmed
+        and "}" not in trimmed
+        and ";" not in trimmed
+    ):
+        return False
+
     lower = ascii_lower(trimmed)
     assignment_count = (
         lower.count(" = ")
@@ -133,7 +151,6 @@ def is_non_content_text(text: str) -> bool:
     js_api_count = sum(1 for marker in _JS_API_MARKERS if marker in lower)
     ad_script_count = sum(1 for marker in _AD_SCRIPT_MARKERS if marker in lower)
 
-    p_ratio = punctuation_ratio(trimmed)
     has_code_delimiters = "{" in trimmed or "}" in trimmed or ";" in trimmed
     has_js_assignment = (
         "window." in lower and assignment_count > 0 and has_code_delimiters

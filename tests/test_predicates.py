@@ -91,3 +91,86 @@ def test_should_skip_attrs():
     assert should_skip_element("div", {"class": "x", "id": "adfox_123"})
     assert should_skip_element("div", {"data-content": "webR"})
     assert not should_skip_element("div", {"data-content": "other"})
+
+
+def test_non_content_fast_path_differential():
+    """The prose fast path (p_ratio <= 0.12 and no code delimiter ->
+    False) must be observationally identical to the unshortcut rule
+    set. Re-derive the full classifier inline and fuzz-compare."""
+    import random
+
+    from dce_spark.core.predicates import (
+        _AD_SCRIPT_MARKERS,
+        _JS_API_MARKERS,
+        _THR_012,
+        _THR_016,
+        _THR_018,
+        has_long_encoded_token,
+        is_non_content_text,
+        punctuation_ratio,
+    )
+    from dce_spark.core.textnorm import ascii_lower, rust_trim
+
+    def reference(text):  # the pre-fast-path formulation, verbatim
+        trimmed = rust_trim(text)
+        if not trimmed:
+            return True
+        length = len(trimmed)
+        looks_like_css_block = False
+        if trimmed[0] in ".#@" and "{" in trimmed and "}" in trimmed:
+            head = ascii_lower(trimmed[:7])
+            looks_like_css_block = (
+                head.startswith(".") or head.startswith("#")
+                or head.startswith("@media") or head.startswith("@import")
+            )
+        if looks_like_css_block and (
+            length >= 80 or punctuation_ratio(trimmed) > _THR_018
+        ):
+            return True
+        if length < 80:
+            return False
+        lower = ascii_lower(trimmed)
+        assignment_count = (
+            lower.count(" = ") + lower.count('="') + lower.count("='")
+            + lower.count("={") + lower.count("=[")
+        )
+        call_count = (
+            lower.count("function(") + lower.count("function (")
+            + lower.count("=>") + lower.count(");") + lower.count("});")
+        )
+        js_api = sum(1 for m in _JS_API_MARKERS if m in lower)
+        ad = sum(1 for m in _AD_SCRIPT_MARKERS if m in lower)
+        p_ratio = punctuation_ratio(trimmed)
+        delims = "{" in trimmed or "}" in trimmed or ";" in trimmed
+        has_js_assignment = (
+            "window." in lower and assignment_count > 0 and delims
+        )
+        blob = (
+            p_ratio > _THR_012
+            and (
+                (js_api >= 2 and call_count > 0)
+                or (js_api >= 1 and assignment_count >= 2)
+                or (ad >= 1 and (call_count > 0 or assignment_count > 0))
+            )
+        ) or (ad >= 2 and delims)
+        if blob:
+            return True
+        if (
+            p_ratio > _THR_016 and (assignment_count > 0 or "window." in lower)
+        ) or has_js_assignment:
+            return has_long_encoded_token(trimmed)
+        return False
+
+    rng = random.Random(7)
+    frags = [
+        "plain prose about markets and policy outcomes here ",
+        "window.dataLayer = window.dataLayer || []; ",
+        "function(){return 1;} ", ".cls{color:red} ", "@media screen ",
+        "adfox ", "gtag('config'); ", "a=1;b=2; ", "== => );} ",
+        "A" * 100, "x" * 40 + "= ", "; ", "{", "}", "   ", "",
+    ]
+    cases = ["".join(rng.choice(frags) for _ in range(rng.randrange(1, 6)))
+             for _ in range(3000)]
+    cases += frags
+    for c in cases:
+        assert is_non_content_text(c) == reference(c), repr(c[:120])
