@@ -2,9 +2,18 @@
 """Benchmark harness. Prints ONE JSON line:
 
   {"metric": ..., "value": <headline seconds>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "pages_per_sec_N": ..., "pages_per_sec_4N": ...,
-   "scaling_efficiency": ..., "pages_per_sec_full": ...}
+   "queries": {name: sec (min of 3)}, "queries_median": {...},
+   "sf": ..., "pages_per_sec_N": ..., "pages_per_sec_4N": ...,
+   "scaling_efficiency": ..., "pages_per_sec_full": ...,
+   "headline_runs": [{"wall": s, "ctrl_pps": 1-core control}, ...]}
+
+Noise discipline (this VM has minutes-scale hypervisor steal
+windows): the headline runs FIRST, 5 repeats split into an early
+block of 3 and a late block of 2 so one window cannot depress every
+sample; each repeat records an adjacent fixed-workload 1-core scalar
+control, so a depressed headline with a depressed control column is
+attributable to the window, not the code. Per-query timings are
+min-of-3 warm runs with medians reported alongside.
 
 Headline: CETD extraction over a deterministic synthetic pages corpus
 (seed 42, log-normal ~50 KB pages, 20% hot-domain skew), written with
@@ -81,21 +90,6 @@ def _extract_job(spark, limit: int | None = None):
     assert row[0][1] and row[0][1] > 0
 
 
-def _timed_extraction(cores: int, runs: int = 2) -> float:
-    spark = _fresh_spark(cores)
-    _ensure_corpus(spark)
-    _extract_job(spark, limit=min(500, N_PAGES))  # warm workers/JIT
-    best = None
-    for _ in range(runs):
-        t0 = time.time()
-        _extract_job(spark)
-        wall = time.time() - t0
-        best = wall if best is None else min(best, wall)
-    spark.stop()
-    time.sleep(2)  # let workers/ports drain before the next session
-    return best
-
-
 def _measure_scaling(n_small: int, pairs: int = 3) -> dict:
     """Interleaved N/4N measurement: this host has minutes-scale
     hypervisor steal-time windows, so measuring the two levels far apart
@@ -164,29 +158,55 @@ def _measure_scaling(n_small: int, pairs: int = 3) -> dict:
     }
 
 
+def _scalar_control(pages) -> float:
+    """1-core fixed-workload control: pages/sec over the same 60
+    synthetic pages every time. Adjacent to each headline repeat this
+    is the per-run machine-speed column — a slow hypervisor window
+    shows up here, so a depressed headline with a depressed control is
+    attributable to the window, not the code."""
+    from dce_spark.core.api import extract_page
+
+    t0 = time.time()
+    for p in pages:
+        extract_page(p, mode="both")
+    return round(len(pages) / (time.time() - t0), 1)
+
+
 def main() -> None:
+    import statistics
+
     import __spark_entry__ as entrymod
+    from dce_spark.spark.corpus import synth_page
 
     out: dict = {}
+    ctrl_pages = [synth_page(i)["html"] for i in range(60)]
+    for p in ctrl_pages[:10]:
+        from dce_spark.core.api import extract_page
 
-    # --- scaling: interleaved N/4N pairs on identical input, run first
-    # (freshest machine state; each pair back-to-back) ---
-    scaling = None
-    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        scaling = _measure_scaling(SCALE_N, pairs=2)
+        extract_page(p, mode="both")
 
-    # --- headline: full-width run + operator queries ---
+    # --- headline: full-width run, measured FIRST (freshest machine
+    # state), repeats spread across the bench so a single minutes-scale
+    # hypervisor steal window cannot depress every sample; each repeat
+    # carries an adjacent 1-core scalar control ---
     spark = _fresh_spark(CPUS)
     n_rows = _ensure_corpus(spark)
-    _extract_job(spark, limit=min(500, N_PAGES))
-    t_full = None
-    for _ in range(3):
-        t0 = time.time()
-        _extract_job(spark)
-        w = time.time() - t0
-        t_full = w if t_full is None else min(t_full, w)
+    _extract_job(spark, limit=min(500, N_PAGES))  # warm workers/JIT
+    headline_runs: list[dict] = []
+
+    def sample_headline(k: int) -> None:
+        for _ in range(k):
+            ctrl = _scalar_control(ctrl_pages)
+            t0 = time.time()
+            _extract_job(spark)
+            headline_runs.append(
+                {"wall": round(time.time() - t0, 3), "ctrl_pps": ctrl}
+            )
+
+    sample_headline(3)
 
     queries = {}
+    queries_median = {}
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     all_queries = entrymod.queries()
     # warm the per-query path once untimed (noop writer + corpus
@@ -201,49 +221,52 @@ def main() -> None:
         pass
     for name, fn in all_queries.items():
         try:
-            # best-of-2: this VM has minutes-scale hypervisor steal-time
-            # windows; steal only ever slows a run, so min is the
-            # closest observable to the true cost
-            best = None
-            for _ in range(2):
+            # 3 warm runs; min is primary (steal only ever slows a run,
+            # so min is the closest observable to the true cost) with
+            # the median reported alongside for noise transparency
+            walls = []
+            for _ in range(3):
                 t0 = time.time()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                w = time.time() - t0
-                best = w if best is None else min(best, w)
-            queries[name] = round(best, 3)
+                walls.append(time.time() - t0)
+            queries[name] = round(min(walls), 3)
+            queries_median[name] = round(statistics.median(walls), 3)
         except Exception as exc:  # pragma: no cover
             queries[name] = f"error:{type(exc).__name__}"
+
+    # late headline repeats: ~minutes after the early block, sampling a
+    # different machine-noise window within the same session
+    sample_headline(2)
     spark.stop()
     time.sleep(2)
 
+    # --- scaling: interleaved N/4N pairs on identical input ---
+    scaling = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        scaling = _measure_scaling(SCALE_N, pairs=2)
+
     # scalar single-core reference: the steadiest cross-round signal on
     # this noisy VM (no Spark scheduling, no steal amortization effects)
-    import time as _time
+    best_scalar_pps = max(
+        _scalar_control(ctrl_pages) for _ in range(3)
+    )
 
-    from dce_spark.core.api import extract_page
-    from dce_spark.spark.corpus import synth_page
-
-    scalar_pages = [synth_page(i)["html"] for i in range(60)]
-    for p in scalar_pages[:10]:
-        extract_page(p, mode="both")
-    best_scalar = None
-    for _ in range(3):
-        t0 = _time.time()
-        for p in scalar_pages:
-            extract_page(p, mode="both")
-        w = _time.time() - t0
-        best_scalar = w if best_scalar is None else min(best_scalar, w)
-
+    best = min(headline_runs, key=lambda r: r["wall"])
+    t_full = best["wall"]
     out = {
         "metric": "cetd_extraction_wall_seconds",
         "value": round(t_full, 3),
-        "pages_per_sec_scalar_1core": round(60 / best_scalar, 1),
+        "pages_per_sec_scalar_1core": best_scalar_pps,
         "unit": "sec",
         "queries": queries,
+        "queries_median": queries_median,
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
         "corpus_pages": n_rows,
         "pages_per_sec_full": round(n_rows / t_full, 2),
         "cores_full": CPUS,
+        # per-run machine-speed evidence: wall + adjacent 1-core control
+        "headline_runs": headline_runs,
+        "ctrl_pps_at_best": best["ctrl_pps"],
     }
     if scaling is not None:
         out.update(scaling)

@@ -1048,6 +1048,75 @@ def minhash_dedup(
     )
 
 
+def minhash_incremental_dedup(
+    new_docs: DataFrame, stored_bands: DataFrame,
+    n_seeds: int = 8, n_bands: int = 2, k: int = 3,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Cross-crawl incremental near-dup gate — the MinHash analogue of
+    the historical Bloom gate (streaming/stream.py): a NEW crawl batch
+    is deduped against an already-signed history WITHOUT recomputing
+    history signatures. ``stored_bands`` is the persisted
+    minhash_band_table output for the historical corpus ((doc_id, band)
+    long form; must be built with the same n_seeds/n_bands/k/hash
+    family, and doc_ids must be unique across history + new — monotone
+    crawl ids satisfy both).
+
+    Decision semantics are EXACTLY batch minhash_dedup over the union
+    corpus restricted to the new batch's rows (when historical ids
+    precede new ids): per band the keeper is the smallest doc_id across
+    history + new, and each new doc adopts the smallest keeper across
+    its bands. Only the new batch is shingled; history costs one scan
+    of its stored band table — at crawl scale that is the difference
+    between re-shingling 10^12 historical docs per batch and reading a
+    compact (doc_id, band) parquet.
+
+    Returns (doc_id, keep_id, is_kept, dup_of_history), total over
+    new_docs (shingle-less docs keep themselves). dup_of_history marks
+    docs whose keeper lives in history; the winner's provenance rides
+    the min-struct through both aggregations, so the flag costs no
+    extra join.
+    """
+    new_bands = minhash_band_table(
+        new_docs, n_seeds=n_seeds, n_bands=n_bands, k=k,
+        portable_hash=portable_hash,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "band",
+        F.lit(False).alias("is_hist"),
+    )
+    hist = stored_bands.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("band").cast("string").alias("band"),
+        F.lit(True).alias("is_hist"),
+    )
+    both = new_bands.unionByName(hist)
+    keeper = both.groupBy("band").agg(
+        F.min(F.struct("doc_id", "is_hist")).alias("kw")
+    )
+    decided = (
+        new_bands.select("doc_id", "band")
+        .join(keeper, "band")
+        .groupBy("doc_id")
+        .agg(F.min("kw").alias("kw"))
+    )
+    all_new = new_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (
+        all_new.join(decided, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("kw.doc_id"), F.col("doc_id"))
+            .cast("long").alias("keep_id"),
+            (
+                F.col("doc_id")
+                == F.coalesce(F.col("kw.doc_id"), F.col("doc_id"))
+            ).alias("is_kept"),
+            F.coalesce(F.col("kw.is_hist"), F.lit(False))
+            .alias("dup_of_history"),
+        )
+    )
+
+
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash over tokens: per bit, sign of the sum of token
     weights (+1/-1 per md5-derived bit). Pure Catalyst: explode tokens,

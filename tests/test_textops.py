@@ -953,6 +953,48 @@ def test_minhash_band_table_general(spark):
         textops.minhash_band_table(docs, n_seeds=8, n_bands=3)
 
 
+def test_minhash_incremental_matches_batch_on_union(spark):
+    """Cross-crawl probe == batch dedup over the union corpus,
+    restricted to the new batch (monotone crawl ids): same keep_id /
+    is_kept per new doc, and dup_of_history iff the keeper's id is
+    historical."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for d in range(24):
+        if d and rng.random() < 0.5:
+            # near-dup of an earlier doc (possibly across the split)
+            src = rows[rng.randrange(len(rows))][1].split()
+            edited = list(src)
+            for _ in range(rng.randint(0, 2)):
+                edited[rng.randrange(len(edited))] = rng.choice(vocab)
+            text = " ".join(edited)
+        else:
+            text = " ".join(rng.choice(vocab) for _ in range(18))
+        rows.append((d, text, "en", "s", 0))
+    rows.append((24, "xy", "en", "s", 0))  # < k tokens: no bands
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    union = spark.createDataFrame(rows, cols)
+    split = 12
+    hist = union.filter(f"doc_id < {split}")
+    new = union.filter(f"doc_id >= {split}")
+
+    stored = textops.minhash_band_table(hist)  # persisted-shape input
+    inc = {r.doc_id: r for r in textops.minhash_incremental_dedup(
+        new, stored).collect()}
+    batch = {r.doc_id: r for r in textops.minhash_dedup(union).collect()
+             if r.doc_id >= split}
+
+    assert set(inc) == set(batch)
+    for d, b in batch.items():
+        assert (inc[d].keep_id, inc[d].is_kept) == (b.keep_id, b.is_kept), d
+        assert inc[d].dup_of_history == (b.keep_id < split), d
+    # shingle-less doc is total and kept fresh
+    assert inc[24].is_kept and not inc[24].dup_of_history
+
+
 def test_chunk_documents_windows(spark):
     text = " ".join(f"t{i}" for i in range(50))
     docs = spark.createDataFrame(
