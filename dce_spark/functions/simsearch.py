@@ -123,6 +123,7 @@ def embedding_dedup(
     n_planes: int | None = None,
     dim: int = 64,
     n_tables: int | None = None,
+    n_candidates: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup decision.
 
@@ -145,7 +146,14 @@ def embedding_dedup(
     deduped before the keeper aggregation.
     """
     if n_planes is None:
-        n_planes = derive_n_planes(embeddings.count())
+        # derive occupancy from a caller-supplied corpus size when
+        # available: at scale the count is already known (catalog
+        # stats, the ingest manifest), and launching a count job per
+        # dedup call is a driver action the pipeline shouldn't pay
+        n_planes = derive_n_planes(
+            n_candidates if n_candidates is not None
+            else embeddings.count()
+        )
     if n_tables is None:
         # derive amplification from the planes actually IN USE: a
         # caller-pinned long code needs its multi-table recall restore
@@ -301,6 +309,7 @@ def lsh_topk(
     dim: int = 64,
     probes: int = 1,
     n_tables: int | None = None,
+    n_candidates: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates join queries on bucket id only.
 
@@ -309,8 +318,10 @@ def lsh_topk(
     candidate reduction.
 
     * ``n_planes=None`` derives the plane count from the corpus size
-      (one count() at index-build time) via derive_n_planes, so bucket
-      occupancy stays ~constant as the corpus grows.
+      via derive_n_planes, so bucket occupancy stays ~constant as the
+      corpus grows. Pass ``n_candidates`` (catalog/manifest row count)
+      to avoid the count() driver action; it is only consulted when
+      n_planes is underived.
     * ``probes`` enables multi-probe: each query additionally searches
       the buckets at Hamming distance 1 (bit p flipped, for the first
       ``probes - 1`` planes), recovering neighbors that fell across a
@@ -326,7 +337,10 @@ def lsh_topk(
     from pyspark.sql.window import Window
 
     if n_planes is None:
-        n_planes = derive_n_planes(embeddings.count())
+        n_planes = derive_n_planes(
+            n_candidates if n_candidates is not None
+            else embeddings.count()
+        )
     if n_tables is None:
         # amplification follows the planes in use, pinned or derived
         n_tables = tables_for_planes(n_planes)

@@ -125,6 +125,25 @@ def test_lsh_multitable_no_crossjoin(spark):
         assert "Python" not in plan
 
 
+def test_simsearch_supplied_count_runs_no_action(spark, monkeypatch):
+    """With a caller-supplied corpus count (catalog/manifest stats),
+    embedding_dedup and lsh_topk must stay pure plan builders — no
+    count() (or any other driver action) fired per call."""
+    from pyspark.sql import DataFrame
+
+    from dce_spark.functions.simsearch import embedding_dedup, lsh_topk
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+
+    def boom(self):
+        raise AssertionError("driver action during plan build")
+
+    for action in ("count", "collect", "take", "first", "head"):
+        monkeypatch.setattr(DataFrame, action, boom)
+    embedding_dedup(emb, threshold=0.9, n_candidates=200)
+    lsh_topk(emb, n_queries=5, k=3, n_candidates=200)
+
+
 def test_decontaminate_broadcast_and_pii_projection(spark):
     import __spark_entry__ as e
 
