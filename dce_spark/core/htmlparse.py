@@ -484,6 +484,23 @@ class _TreeBuilder(HTMLParser):
                 return False
         return False
 
+    def _in_table_mode(self) -> bool:
+        """Spec 'reset the insertion mode' projection: walking the open
+        stack from the top, the first of td/th/caption/table decides
+        whether a <table> start tag closes the open table ('in table'
+        family modes) or nests a new one ('in cell'/'in caption').
+        Checking only the CURRENT node misclassifies the
+        foster-parented case — after <table><ul>, the current node is
+        the fostered <ul> but the mode is still 'in table', so a
+        following <table> must close the open one (html5lib
+        differential, minimal case <table><ul><table>)."""
+        for _idx, t, _f, _i in reversed(self.stack):
+            if t in ("td", "th", "caption"):
+                return False
+            if t == "table":
+                return True
+        return False
+
     _IMPLIED = frozenset(
         ("dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc")
     )
@@ -716,7 +733,7 @@ class _TreeBuilder(HTMLParser):
             return
 
         if tag == "table":
-            if self.table_depth > 0 and self._cur_tag() in _TABLE_CONTEXT:
+            if self.table_depth > 0 and self._in_table_mode():
                 # <table> in table: acts as </table> then reprocess
                 self._end_table()
             if not self.quirks and self._has_in_scope("p", extra=("button",)):
