@@ -32,9 +32,17 @@ hand-minimization, round 5):
     inserts it INSIDE the table), reconstruction into fostered
     elements (in-body character rule applies when the current node is
     not a table context).
-  unadjudicated (wrapper order only, no text loss): deep
-    adoption-agency chains with multiple formatting elements and a
-    special-category furthest block (~0.5% of random soup).
+  ours-correct (current spec vs html5lib's pre-2013 algorithm): deep
+    adoption-agency chains with >3 formatting elements between the
+    subject and a special-category furthest block (~0.5% of random
+    soup). Hand-trace of <i><b><em><s><em><section></i>x: the CURRENT
+    WHATWG inner loop removes the 4th node (b) from the active
+    formatting list when the counter exceeds 3, so the following text
+    is NOT re-wrapped in b — our behavior, and html5ever's (the
+    reference's parser). html5lib 1.1 keeps b (older algorithm) and
+    re-wraps. Since the reference inherits the current spec via
+    html5ever, these cases count as parity WITH the reference even
+    though they diff against html5lib.
 """
 
 from __future__ import annotations
