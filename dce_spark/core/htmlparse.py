@@ -199,7 +199,11 @@ class _TreeBuilder(HTMLParser):
         self.in_body = False
         self.quirks = True  # no doctype => quirks mode
         self.table_depth = 0
-        self.form_open = False
+        # form element POINTER (spec), not a bool: </form> must be
+        # ignored when the pointed-at form is no longer on the stack
+        # (e.g. popped when an enclosing button closed), or an open
+        # <p> would be wrongly closed by the stray end tag.
+        self.form_ptr: int | None = None
         self._strip_nl = False
         # active formatting elements: [tag, attrs, node_idx] entries,
         # None = marker (spec list; reconstruction + adoption agency)
@@ -484,6 +488,16 @@ class _TreeBuilder(HTMLParser):
                 return False
         return False
 
+    def _in_select(self) -> bool:
+        """select-scope membership: every element except optgroup and
+        option is a barrier (the spec's 'in select scope' variant)."""
+        for _idx, t, _f, _i in reversed(self.stack):
+            if t == "select":
+                return True
+            if t not in ("option", "optgroup"):
+                return False
+        return False
+
     def _in_table_mode(self) -> bool:
         """Spec 'reset the insertion mode' projection: walking the open
         stack from the top, the first of td/th/caption/table decides
@@ -719,6 +733,27 @@ class _TreeBuilder(HTMLParser):
 
         a = _attrs_dict(attrs)
 
+        if self._in_select():
+            # spec "in select": only a closed set of start tags acts;
+            # anything else is IGNORED (html5lib differential: <p>
+            # inside <select> must not enter the tree)
+            if tag in ("option", "optgroup", "select", "input",
+                       "keygen", "textarea", "script", "template"):
+                pass  # handled by their rules below
+            elif tag == "hr":
+                if self._cur_tag() == "option":
+                    self._pop()
+                if self._cur_tag() == "optgroup":
+                    self._pop()
+                self._insert_element("hr", a, push=False)
+                return
+            elif tag in ("caption", "table", "tbody", "tfoot", "thead",
+                         "tr", "td", "th"):
+                # "in select in table": close the select, reprocess
+                self._pop_through("select")
+            else:
+                return
+
         if tag in ("svg", "math"):
             idx = self._new_node(tag, a, None)
             self._append_child(self._cur(), idx)
@@ -742,16 +777,18 @@ class _TreeBuilder(HTMLParser):
             return
 
         if tag in _P_CLOSERS:
+            if tag == "form" and self.form_ptr is not None:
+                # spec ignores the whole token BEFORE any p-closing:
+                # a duplicate <form> must not disturb the open <p>
+                return
             if self._has_in_scope("p", extra=("button",)):
                 self._close_p()
             if tag in _HEADINGS and self._cur_tag() in _HEADINGS:
                 self._pop()
-            if tag == "form":
-                if self.form_open:
-                    return
-                self.form_open = True
             push = tag not in VOID_ELEMENTS  # hr is void
-            self._insert_element(tag, a, push=push)
+            idx = self._insert_element(tag, a, push=push)
+            if tag == "form":
+                self.form_ptr = idx
             if tag in ("pre", "listing"):
                 self._strip_nl = True
             if tag == "plaintext":
@@ -804,19 +841,39 @@ class _TreeBuilder(HTMLParser):
             if self._has_in_scope("button"):
                 self._generate_implied_end_tags()
                 self._pop_through("button")
+            self._reconstruct_afe()  # spec: <button> reconstructs
+            self._insert_element(tag, a, push=True)
+            return
+
+        if tag in ("rb", "rtc", "rt", "rp"):
+            # spec "in body": with a ruby in scope, rb/rtc generate
+            # implied end tags; rt/rp generate them except for rtc —
+            # so <ruby><rp><rt> yields SIBLING rp/rt, not nesting
+            # (html5lib differential, ruby pool)
+            if self._has_in_scope("ruby"):
+                self._generate_implied_end_tags(
+                    exclude="rtc" if tag in ("rt", "rp") else None
+                )
             self._insert_element(tag, a, push=True)
             return
 
         if tag == "option":
             if self._cur_tag() == "option":
                 self._pop()
+            if not self._in_select():
+                self._reconstruct_afe()  # in-body option reconstructs
             self._insert_element(tag, a, push=True)
             return
         if tag == "optgroup":
             if self._cur_tag() == "option":
                 self._pop()
-            if self._cur_tag() == "optgroup":
-                self._pop()
+            if self._in_select():
+                # popping a sibling optgroup is an IN-SELECT rule; in
+                # body optgroups nest (html5lib differential)
+                if self._cur_tag() == "optgroup":
+                    self._pop()
+            else:
+                self._reconstruct_afe()
             self._insert_element(tag, a, push=True)
             return
 
@@ -933,6 +990,16 @@ class _TreeBuilder(HTMLParser):
                 if not entry[2] and entry[1] not in ("svg", "math"):
                     break
 
+        if self._in_select() and tag not in (
+            "option", "optgroup", "select", "template"
+        ):
+            if tag in ("caption", "table", "tbody", "tfoot", "thead",
+                       "tr", "td", "th"):
+                # "in select in table": close the select, reprocess
+                self._pop_through("select")
+            else:
+                return  # spec "in select": any other end tag is ignored
+
         if tag == "p":
             if not self._has_in_scope("p", extra=("button",)):
                 self._insert_element("p", {}, push=False)
@@ -958,11 +1025,14 @@ class _TreeBuilder(HTMLParser):
                         break
             return
         if tag == "form":
-            if self.form_open:
-                self.form_open = False
+            node, self.form_ptr = self.form_ptr, None
+            # spec: ignore unless the POINTED-AT form is still open
+            if node is not None and any(
+                e[0] == node for e in self.stack
+            ):
                 self._generate_implied_end_tags()
                 for i in range(len(self.stack) - 1, 0, -1):
-                    if self.stack[i][1] == "form":
+                    if self.stack[i][0] == node:
                         del self.stack[i]
                         break
             return

@@ -245,6 +245,94 @@ def test_soup_differential_rates_and_no_text_loss():
     assert order_mism <= cases // 100, (order_mism, cases)
 
 
+@pytest.mark.parametrize("pool", [
+    ["ul", "ol", "li", "dl", "dd", "dt", "p", "div", "span", "b"],
+    ["h1", "h2", "h3", "p", "div", "section", "article", "header",
+     "footer", "b", "em"],
+    ["select", "option", "optgroup", "p", "div", "input", "button",
+     "label"],
+    ["dl", "dd", "dt", "li", "p", "a", "button", "form", "fieldset"],
+    ["details", "summary", "figure", "figcaption", "blockquote", "pre",
+     "hr", "br", "address", "main", "nav"],
+], ids=["lists", "headings", "select", "definition", "misc"])
+def test_construct_family_exact_parity(pool):
+    """Lists, headings, select, definition/form and sectioning soup:
+    EXACT content-projection parity with html5lib — these families
+    have no known spec-version gap, so any mismatch is a regression.
+    (Ruby soup is excluded: html5lib 1.1 predates the rb/rtc rules —
+    all its mismatches involve those tags; our implied-end handling
+    follows the current spec and is pinned below.)"""
+    rng = random.Random(sum(map(ord, pool[0])))
+    for _ in range(300):
+        n = rng.randrange(4, 50)
+        parts = []
+        for _ in range(n):
+            t = rng.choice(pool)
+            r = rng.random()
+            if r < 0.45:
+                parts.append(f"<{t}>")
+            elif r < 0.85:
+                parts.append(f"</{t}>")
+            else:
+                parts.append(rng.choice(["x", "1 2", " ", "y z"]))
+        html = "<body>" + "".join(parts)
+        assert project(ours_canon(html)) == project(h5_canon(html)), html
+
+
+def test_in_select_content_restrictions():
+    """Pinned WITHOUT html5lib: spec 'in select' ignores stray start
+    and end tags, pops sibling optgroups only inside select, and the
+    in-select-in-table family closes the select first."""
+    assert ours_canon("<body><select><p>x") == (
+        "body", (("select", (("#t", "x"),)),))
+    assert ours_canon("<body><select><option>a<option>b") == (
+        "body",
+        (("select", (("option", (("#t", "a"),)),
+                     ("option", (("#t", "b"),)))),),
+    )
+    # sibling optgroup pop is select-only; in body optgroups nest
+    assert ours_canon("<body><select><optgroup><optgroup>") == (
+        "body", (("select", (("optgroup", ()), ("optgroup", ()))),))
+    assert ours_canon("<body><optgroup><optgroup>") == (
+        "body", (("optgroup", (("optgroup", ()),)),))
+    # table part while in a table-cell select: select closes
+    c = ours_canon("<body><table><tr><td><select><tr>")
+    assert "select" in str(c) and c[1][0][0] == "table"
+
+
+def test_ruby_implied_end_tags_current_spec():
+    """Pinned WITHOUT html5lib (html5lib 1.1 predates rb/rtc): with a
+    ruby in scope, rb/rtc generate implied end tags and rt/rp generate
+    them except for rtc — annotation parts are SIBLINGS."""
+    assert ours_canon("<body><ruby><rp><rt>") == (
+        "body", (("ruby", (("rp", ()), ("rt", ()))),))
+    assert ours_canon("<body><ruby><rt><rtc>") == (
+        "body", (("ruby", (("rt", ()), ("rtc", ()))),))
+    assert ours_canon("<body><ruby><rtc><rt>") == (
+        "body", (("ruby", (("rtc", (("rt", ()),)),)),))  # rt spares rtc
+
+
+def test_form_element_pointer_not_flag():
+    """Pinned WITHOUT html5lib: </form> is ignored when the pointed-at
+    form is no longer open, and a duplicate <form> is ignored BEFORE
+    any p-closing side effect."""
+    # form popped with the enclosing button; </form> must not close <p>
+    c = ours_canon("<body><button><form><button><p></form>x")
+    assert c == ("body", (("button", (("form", ()),)),
+                          ("button", (("p", (("#t", "x"),)),))))
+    # duplicate <form> ignored entirely — the open <p> survives
+    c = ours_canon("<body><form><p><form><button>")
+    assert c == ("body", (("form", (("p", (("button", ()),)),)),))
+
+
+def test_button_reconstructs_formatting():
+    """Pinned WITHOUT html5lib: <button> reconstructs active
+    formatting elements (an <a> left active re-wraps it)."""
+    c = ours_canon("<body><fieldset><a></fieldset><button>x")
+    assert c == ("body", (("fieldset", (("a", ()),)),
+                          ("a", (("button", (("#t", "x"),)),))))
+
+
 def test_table_in_table_closes_after_fostering():
     """Pinned WITHOUT html5lib: a <table> start tag while a table is
     open must close it even when the current node is a fostered
