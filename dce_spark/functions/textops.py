@@ -1048,6 +1048,104 @@ def minhash_dedup(
     )
 
 
+def dsir_weights(
+    raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
+    salt: str = "ds1",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each raw
+    document by the log-likelihood ratio of its hashed n-gram features
+    (unigram + bigram occurrences hashed into ``n_buckets``) under the
+    TARGET distribution vs the RAW distribution. Resampling keeps the
+    highest-weight documents, tilting a crawl toward a target domain
+    without training a classifier — the standard lightweight
+    data-selection pass ahead of quality models.
+
+    Exact, portable arithmetic: bucket probabilities are add-one
+    smoothed; each bucket's log ratio
+    log2((cnt_t+1)/(N_t+B)) - log2((cnt_r+1)/(N_r+B)) is rounded to
+    1e-6 fixed point ONCE per bucket, and a document's weight is the
+    INTEGER sum of its features' fixed-point ratios — associative, so
+    identical under any partitioning, and exactly what the ANSI-SQL
+    oracle computes. No per-doc division: (weight_micro, n_features)
+    lets the consumer normalize (or Gumbel-sample) as it likes.
+
+    Scale shape: both distribution builds are feature-explode ->
+    groupBy(bucket) with map-side partials collapsing into at most
+    ``n_buckets`` rows; the per-bucket ratio table (<= n_buckets rows)
+    broadcasts to the raw side's feature stream; one integer agg per
+    doc. No windows, and no joins on Zipf-heavy token keys — the
+    bucket key is uniform by construction, which is the whole point of
+    the hashing trick at 10^12 documents.
+    """
+    B = int(n_buckets)
+
+    def feats(df: DataFrame) -> DataFrame:
+        t = df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.split(F.col("text"), " ").alias("tk"),
+        )
+        grams = F.concat(
+            F.col("tk"),
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', tk[i + 1]))"
+            ),
+        )
+        exploded = t.select("doc_id", F.explode(grams).alias("gram"))
+        return exploded.select(
+            "doc_id",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{salt}:"), F.col("gram"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long"),
+                F.lit(B),
+            ).alias("bucket"),
+        )
+
+    raw_feats = feats(raw)
+    raw_cnt = raw_feats.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("cnt_r")
+    )
+    tgt_cnt = feats(target).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("cnt_t")
+    )
+    # raw docs only ever hit raw-side buckets, so the ratio domain is
+    # the raw bucket table; totals ride a 1-row broadcast cross join
+    joined = raw_cnt.join(tgt_cnt, "bucket", "left").na.fill(
+        {"cnt_t": 0}
+    )
+    # totals from the FULL count tables: N_t includes target buckets
+    # no raw feature hashes into (they still carry probability mass)
+    totals = raw_cnt.agg(F.sum("cnt_r").alias("n_r")).crossJoin(
+        tgt_cnt.agg(F.sum("cnt_t").alias("n_t"))
+    )
+    ratio = joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log2(F.col("cnt_t") + 1)
+                - F.log2(F.col("n_t") + F.lit(B))
+                - F.log2(F.col("cnt_r") + 1)
+                + F.log2(F.col("n_r") + F.lit(B))
+            )
+            * 1e6
+        ).cast("long").alias("lr_micro"),
+    )
+    return (
+        raw_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr_micro").cast("long").alias("weight_micro"),
+            F.count("*").cast("long").alias("n_features"),
+        )
+    )
+
+
 def minhash_incremental_dedup(
     new_docs: DataFrame, stored_bands: DataFrame,
     n_seeds: int = 8, n_bands: int = 2, k: int = 3,

@@ -320,35 +320,14 @@ def host_link_edges(
     )
 
 
-def parse_robots(
-    df: DataFrame, host_col: str = "host", body_col: str = "body",
-    agent: str = "*",
-) -> DataFrame:
-    """Parse raw robots.txt bodies into the (host, allow, prefix)
-    rules table that :func:`robots_filter` evaluates — the missing
-    front half of the REP pipeline (fetching gives you bodies; this
-    turns them into decisions).
-
-    RFC 9309 grouping semantics, pure Catalyst: lines split and
-    comment-stripped projection-side; a ``User-agent`` line whose
-    predecessor is not one STARTS a group (consecutive UA lines form
-    one multi-agent header); Allow/Disallow lines belong to the
-    current group; per RFC 9309 §2.2.1 a group applies to ``agent``
-    when its UA token is a case-insensitive PREFIX of the agent's
-    product token, the longest matching token wins (so agent
-    'databot-news/1.0' obeys a 'databot' group over a 'data' group),
-    and ``*`` groups apply only when nothing matches. Empty-value rules
-    ("Disallow:" = unrestricted) are dropped — exactly the
-    precondition robots_filter documents. Unknown fields (crawl-delay,
-    sitemap) are ignored.
-
-    Scale shape: the two per-host ordered windows (lag for
-    group-start, running sum for group id) partition on host — a
-    robots body is capped at ~500 KB by the RFC, so per-host work is
-    bounded and the shuffle key is the natural host key the rest of
-    the URL layer already uses. Everything else is projections and
-    one semi-join of rule lines against the selected group set.
-    """
+def _robots_groups(
+    df: DataFrame, host_col: str, body_col: str, agent: str,
+):
+    """Shared REP front half: split bodies into (host, pos, field,
+    value) lines, assign RFC 9309 groups, and select the group set the
+    given agent obeys (longest-prefix UA token, '*' fallback). Returns
+    (flagged_lines, selected_groups) for parse_robots /
+    robots_directives to project."""
     from pyspark.sql.window import Window
 
     host = F.col(host_col)
@@ -413,6 +392,32 @@ def parse_robots(
         )
         .select("host", "grp")
     )
+    return flagged, selected
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the (host, allow, prefix)
+    rules table that :func:`robots_filter` evaluates — the missing
+    front half of the REP pipeline (fetching gives you bodies; this
+    turns them into decisions).
+
+    RFC 9309 grouping semantics, pure Catalyst; see _robots_groups for
+    the line/group machinery. Empty-value rules ("Disallow:" =
+    unrestricted) are dropped — exactly the precondition robots_filter
+    documents. Non-rule fields (crawl-delay, sitemap) are surfaced by
+    :func:`robots_directives`, not here.
+
+    Scale shape: the two per-host ordered windows (lag for
+    group-start, running sum for group id) partition on host — a
+    robots body is capped at ~500 KB by the RFC, so per-host work is
+    bounded and the shuffle key is the natural host key the rest of
+    the URL layer already uses. Everything else is projections and
+    one semi-join of rule lines against the selected group set.
+    """
+    flagged, selected = _robots_groups(df, host_col, body_col, agent)
     return (
         flagged.filter(
             F.col("field").isin("allow", "disallow")
@@ -426,6 +431,55 @@ def parse_robots(
         )
         .distinct()
     )
+
+
+def robots_directives(
+    df: DataFrame, host_col: str = "host", body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """The de-facto REP extensions a polite crawler consumes beyond
+    allow/disallow: ``Crawl-delay`` (per selected user-agent group —
+    the minimum numeric value across the obeyed groups, conservative
+    under ties) and ``Sitemap`` (file-global per sitemaps.org,
+    group-independent). Long form so the two kinds hash cleanly:
+    (host, directive, value_str, value_num) with directive
+    'crawl_delay' (value_num set) or 'sitemap' (value_str set).
+
+    Same scale shape as parse_robots (shared _robots_groups front
+    half): host-keyed windows over RFC-bounded bodies, then one
+    bounded agg per host.
+    """
+    flagged, selected = _robots_groups(df, host_col, body_col, agent)
+    delay = (
+        flagged.filter(
+            (F.col("field") == "crawl-delay")
+            & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+        )
+        .join(selected, ["host", "grp"], "semi")
+        .groupBy("host")
+        .agg(F.min(F.col("value").cast("double")).alias("value_num"))
+        .select(
+            "host",
+            F.lit("crawl_delay").alias("directive"),
+            F.lit(None).cast("string").alias("value_str"),
+            "value_num",
+        )
+    )
+    # Sitemap keeps the ORIGINAL case: the line parse lowercases only
+    # the field name; URLs are case-sensitive past the host
+    sitemaps = (
+        flagged.filter(
+            (F.col("field") == "sitemap") & (F.col("value") != "")
+        )
+        .select(
+            "host",
+            F.lit("sitemap").alias("directive"),
+            F.col("value").alias("value_str"),
+            F.lit(None).cast("double").alias("value_num"),
+        )
+        .distinct()
+    )
+    return delay.unionByName(sitemaps)
 
 
 def host_quota_sample(

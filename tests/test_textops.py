@@ -953,6 +953,57 @@ def test_minhash_band_table_general(spark):
         textops.minhash_band_table(docs, n_seeds=8, n_bands=3)
 
 
+def test_dsir_weights_exact_and_directional(spark):
+    """dsir_weights == a Python fixed-point replica bucket-for-bucket,
+    and documents resembling the target domain outscore off-domain
+    ones (the resampling property the op exists for)."""
+    import hashlib
+    import math
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    target = spark.createDataFrame(
+        [(100 + i, "market revenue analyst filing quarterly revenue",
+          "en", "t", 0) for i in range(4)], cols)
+    raw_rows = [
+        (1, "market revenue analyst quarterly filing", "en", "r", 0),
+        (2, "lithium battery storage harvest municipal", "en", "r", 0),
+        (3, "market revenue lithium battery", "en", "r", 0),
+    ]
+    raw = spark.createDataFrame(raw_rows, cols)
+    B = 64
+    out = {r.doc_id: r for r in textops.dsir_weights(
+        raw, target, n_buckets=B).collect()}
+
+    def buckets(text):
+        tk = text.split(" ")
+        grams = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        return [int(hashlib.md5(f"ds1:{g}".encode()).hexdigest()[:8], 16)
+                % B for g in grams]
+
+    cnt_r, cnt_t = {}, {}
+    for _, text, *_ in raw_rows:
+        for b in buckets(text):
+            cnt_r[b] = cnt_r.get(b, 0) + 1
+    for i in range(4):
+        for b in buckets("market revenue analyst filing quarterly revenue"):
+            cnt_t[b] = cnt_t.get(b, 0) + 1
+    n_r, n_t = sum(cnt_r.values()), sum(cnt_t.values())
+
+    def lr(b):
+        v = (math.log2(cnt_t.get(b, 0) + 1) - math.log2(n_t + B)
+             - math.log2(cnt_r[b] + 1) + math.log2(n_r + B)) * 1e6
+        # HALF_UP like Spark/DuckDB round()
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    for doc_id, text, *_ in raw_rows:
+        bs = buckets(text)
+        assert out[doc_id].n_features == len(bs)
+        assert out[doc_id].weight_micro == sum(lr(b) for b in bs), doc_id
+    # directionality: in-domain > mixed > off-domain (per-feature avg)
+    avg = {d: out[d].weight_micro / out[d].n_features for d in (1, 2, 3)}
+    assert avg[1] > avg[3] > avg[2]
+
+
 def test_minhash_incremental_matches_batch_on_union(spark):
     """Cross-crawl probe == batch dedup over the union corpus,
     restricted to the new batch (monotone crawl ids): same keep_id /

@@ -347,3 +347,39 @@ def test_parse_robots_total_on_garbage(spark):
     assert ("h4.test", False, "/orphan-before-any-group") not in got
     assert ("h8.test", False, "/crlf") in got
     assert ("h6.test", True, "ok") in got
+
+
+def test_robots_directives(spark):
+    """Crawl-delay obeys RFC 9309 group selection (min across the
+    obeyed group's numeric lines; non-numeric rejected); Sitemap is
+    file-global per sitemaps.org and keeps URL case."""
+    from dce_spark.functions.urlops import robots_directives
+
+    body_a = (
+        "User-agent: googlebot\nCrawl-delay: 1\nDisallow: /g\n\n"
+        "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 2.5\n"
+        "Disallow: /x\n"
+        "Sitemap: https://a.test/SiteMap.xml\n"
+    )
+    body_b = (  # exact group supersedes *, min of its two delays
+        "User-agent: *\nCrawl-delay: 1\n\n"
+        "User-agent: databot\nCrawl-delay: 9\nCrawl-delay: 4\n"
+        "Disallow: /d\n"
+        "Sitemap: https://b.test/s1.xml\nSitemap: https://b.test/s2.xml\n"
+    )
+    body_c = "User-agent: *\nDisallow: /\n"  # no directives at all
+    df = spark.createDataFrame(
+        [("a.test", body_a), ("b.test", body_b), ("c.test", body_c)],
+        ["host", "body"],
+    )
+    rows = robots_directives(df, agent="databot").collect()
+    delays = {r.host: r.value_num for r in rows
+              if r.directive == "crawl_delay"}
+    maps = sorted((r.host, r.value_str) for r in rows
+                  if r.directive == "sitemap")
+    assert delays == {"a.test": 2.5, "b.test": 4.0}
+    assert maps == [
+        ("a.test", "https://a.test/SiteMap.xml"),
+        ("b.test", "https://b.test/s1.xml"),
+        ("b.test", "https://b.test/s2.xml"),
+    ]
