@@ -529,3 +529,57 @@ def host_quota_sample(
         "host",
         (draw < threshold).alias("kept"),
     )
+
+
+def schedule_fetches(
+    frontier: DataFrame, directives: DataFrame,
+    default_delay: float = 1.0, url_col: str = "url",
+) -> DataFrame:
+    """Politeness scheduler: assign every frontier URL a per-host fetch
+    slot and an earliest-start offset honoring Crawl-delay — the last
+    leg of the REP composition (parse_robots gates WHAT may be
+    fetched, robots_directives says HOW FAST, this says WHEN).
+
+    ``directives`` is robots_directives output (only its
+    directive='crawl_delay' rows are read); hosts without a delay use
+    ``default_delay`` seconds. Output (url, host, slot, not_before_ms):
+    slot is the 0-based position of the url within its host (ordered
+    by url — deterministic under any partitioning) and
+    not_before_ms = slot * delay_ms with delay_ms a rounded integer,
+    so the schedule is bit-stable cross-engine.
+
+    Scale shape: one row_number window partitioned on host — the one
+    place a per-host window is the honest shape, because politeness is
+    inherently per-host sequential; host fan-in is bounded upstream
+    (host_quota_sample), so the window key is not unbounded-skewed.
+    The delay table joins as a broadcast (one row per host with a
+    robots file).
+    """
+    from pyspark.sql.window import Window
+
+    delays = (
+        directives.filter(F.col("directive") == "crawl_delay")
+        .select(
+            "host",
+            F.round(F.col("value_num") * 1000).cast("long")
+            .alias("delay_ms"),
+        )
+    )
+    urls = frontier.select(
+        F.col(url_col).alias("url"),
+        url_host_col(F.col(url_col)).alias("host"),
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    default_ms = int(round(default_delay * 1000))
+    return (
+        urls.withColumn("slot", F.row_number().over(w) - 1)
+        .join(F.broadcast(delays), "host", "left")
+        .select(
+            "url", "host",
+            F.col("slot").cast("long").alias("slot"),
+            (
+                F.col("slot")
+                * F.coalesce(F.col("delay_ms"), F.lit(default_ms))
+            ).cast("long").alias("not_before_ms"),
+        )
+    )

@@ -383,3 +383,30 @@ def test_robots_directives(spark):
         ("b.test", "https://b.test/s1.xml"),
         ("b.test", "https://b.test/s2.xml"),
     ]
+
+
+def test_schedule_fetches(spark):
+    """Per-host slots are url-ordered and 0-based; not_before honors
+    the host's crawl-delay (ms-integer), default where absent."""
+    from dce_spark.functions.urlops import schedule_fetches
+
+    frontier = spark.createDataFrame(
+        [("https://a.test/2",), ("https://a.test/1",),
+         ("https://b.test/only",)], ["url"])
+    directives = spark.createDataFrame(
+        [("a.test", "crawl_delay", None, 2.5),
+         ("a.test", "sitemap", "https://a.test/s.xml", None)],
+        ["host", "directive", "value_str", "value_num"])
+    out = {r.url: r for r in schedule_fetches(
+        frontier, directives, default_delay=1.0).collect()}
+    assert (out["https://a.test/1"].slot,
+            out["https://a.test/1"].not_before_ms) == (0, 0)
+    assert (out["https://a.test/2"].slot,
+            out["https://a.test/2"].not_before_ms) == (1, 2500)
+    assert (out["https://b.test/only"].slot,
+            out["https://b.test/only"].not_before_ms) == (0, 0)
+    two_b = spark.createDataFrame(
+        [("https://b.test/x",), ("https://b.test/y",)], ["url"])
+    out2 = {r.url: r.not_before_ms for r in schedule_fetches(
+        two_b, directives, default_delay=1.0).collect()}
+    assert out2["https://b.test/y"] == 1000  # default delay fallback
