@@ -327,3 +327,61 @@ def test_pagerank_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_dsir_plan_broadcasts_ratio_no_token_join(spark):
+    """DSIR: the per-bucket ratio table broadcasts to the feature
+    stream; no cartesian beyond the 1-row totals cross join, no
+    Window, no Python."""
+    from dce_spark.functions.textops import dsir_weights
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    df = dsir_weights(
+        docs.filter("source <> 'src0'"), docs.filter("source = 'src0'"),
+        n_buckets=256,
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # map-side partials on the bucket aggregations
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_minhash_incremental_plan_no_window_no_cartesian(spark):
+    """Incremental probe: union + two hash aggs + one totalizing
+    join — no Window, no cartesian, and history's band table is
+    scanned, never re-shingled (no explode on the stored side)."""
+    from dce_spark.functions.textops import (
+        minhash_band_table,
+        minhash_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    stored = minhash_band_table(docs.filter("doc_id < 100"))
+    df = minhash_incremental_dedup(docs.filter("doc_id >= 100"), stored)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_schedule_fetches_plan_single_host_window(spark):
+    """Scheduler: exactly one Window (per-host sequencing is the honest
+    shape) and the delay table joins as a broadcast."""
+    from dce_spark.functions.urlops import schedule_fetches
+
+    frontier = spark.read.parquet(SF + "/documents.parquet").selectExpr(
+        "concat('https://h', cast(doc_id % 7 as string), '.test/p',"
+        " cast(doc_id as string)) as url"
+    )
+    directives = spark.createDataFrame(
+        [("h0.test", "crawl_delay", None, 2.0)],
+        "host string, directive string, value_str string,"
+        " value_num double",
+    )
+    plan = _plan(schedule_fetches(frontier, directives))
+    assert plan.count("Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
