@@ -1215,6 +1215,66 @@ def minhash_incremental_dedup(
     )
 
 
+def minhash_dedup_best(
+    documents: DataFrame, score_col: str = "n_chars",
+    n_seeds: int = 8, k: int = 3, n_bands: int = 2,
+) -> DataFrame:
+    """Quality-aware near-dup keeper selection: like minhash_dedup,
+    but each LSH band keeps its BEST-scoring document (``score_col``
+    descending, doc_id ascending on ties) instead of the smallest id —
+    what production corpus dedup actually wants (keep the longest /
+    cleanest copy of a template family, not whichever crawled first).
+    A document adopts the best-scoring keeper across its bands (same
+    tie-break); ties are broken deterministically, so the decision is
+    partitioning-independent.
+
+    Same scale shape as minhash_dedup: bucketed band aggregation with
+    map-side partials (max(struct) instead of min), join back on the
+    band key, one agg per doc, left-join totalization for
+    shingle-less docs. No windows, no pair joins.
+
+    Returns (doc_id, keep_id, keep_score, is_kept), total over input.
+    """
+    score = F.col(score_col).cast("long")
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        score.alias("_score"),
+    )
+    bands = minhash_band_table(documents, n_seeds, n_bands, k).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "band"
+    ).join(docs, "doc_id")
+    # winner rides a max(struct): (score, -doc_id) so the tie-break is
+    # the SMALLEST id among equal scores
+    winner = F.struct(
+        F.col("_score").alias("s"),
+        (-F.col("doc_id")).alias("neg_id"),
+    )
+    keeper = bands.groupBy("band").agg(F.max(winner).alias("kw"))
+    decided = (
+        bands.select("doc_id", "band")
+        .join(keeper, "band")
+        .groupBy("doc_id")
+        .agg(F.max("kw").alias("kw"))
+        .select(
+            "doc_id",
+            (-F.col("kw.neg_id")).cast("long").alias("keep_id"),
+            F.col("kw.s").cast("long").alias("keep_score"),
+        )
+    )
+    return (
+        docs.join(decided, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keep_id", "doc_id").cast("long").alias("keep_id"),
+            F.coalesce("keep_score", "_score").cast("long")
+            .alias("keep_score"),
+            (
+                F.col("doc_id") == F.coalesce("keep_id", "doc_id")
+            ).alias("is_kept"),
+        )
+    )
+
+
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash over tokens: per bit, sign of the sum of token
     weights (+1/-1 per md5-derived bit). Pure Catalyst: explode tokens,

@@ -1524,3 +1524,25 @@ def test_merge_bloom_filters_equals_union_build(spark):
     assert merged == direct
     with pytest.raises(ValueError):
         textops.merge_bloom_filters()
+
+
+def test_minhash_dedup_best_keeps_best_copy(spark):
+    """Quality-aware keeper: the highest-scoring member of a near-dup
+    family wins regardless of crawl order; ties break to smallest id;
+    shingle-less docs keep themselves."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = [
+        (1, "the cat sat on the mat", "en", "s", 22),
+        (2, "the cat sat on the mat", "en", "s", 90),   # best copy
+        (3, "the cat sat on the mat", "en", "s", 90),   # tie -> id 2
+        (4, "completely different words entirely here", "en", "s", 40),
+        (5, "xy", "en", "s", 2),                        # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, cols)
+    out = {r.doc_id: r for r in textops.minhash_dedup_best(docs).collect()}
+    assert len(out) == 5
+    for d in (1, 2, 3):
+        assert (out[d].keep_id, out[d].keep_score) == (2, 90), d
+    assert out[2].is_kept and not out[1].is_kept and not out[3].is_kept
+    assert out[4].is_kept and out[4].keep_id == 4
+    assert out[5].is_kept and out[5].keep_score == 2
