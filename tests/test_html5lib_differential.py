@@ -279,6 +279,36 @@ def test_construct_family_exact_parity(pool):
         assert project(ours_canon(html)) == project(h5_canon(html)), html
 
 
+@pytest.mark.parametrize("frags", [
+    ["&amp;", "&lt;", "&gt;", "&quot;", "&#65;", "&#x41;", "&nbsp;",
+     "&notanentity;", "&amp", "&#xZZ;", "&", "&&amp;;", "&eacute;",
+     "<p>", "</p>", "<b>", "</b>", "text "],
+    ["<!-- c -->", "<!-->", "<!---->", "<!-- <p> -->",
+     "<!doctype html>", "<![CDATA[x]]>", "<?pi?>", "<!- bad>", "<p>",
+     "</p>", "x ", "<b>"],
+    ['<div class="a b">', "<div class='c'>", "<div class=d>",
+     "<div hidden>", '<a href="/x" href="/y">', "<div = >",
+     '<div "quoted">', "<div a=b c>", "</div>",
+     "<span style='color:red'>", "</span>", "x ",
+     '<input type="text">'],
+    ["<textarea>", "</textarea>", "<title>", "</title>", "<xmp>",
+     "</xmp>", "<pre>", "</pre>", "x <b>&amp;</b> ", "</plaintext>",
+     "<p>", "</p>"],
+    ["<p/>", "<br/>", "<div/>", "<P>", "</P>", "<DiV>", "</dIv>",
+     "<foo>", "</foo>", "<foo-bar>", "</foo-bar>", "<1abc>", "< p>",
+     "x ", "<b>", "</b>"],
+], ids=["entities", "comments", "attrs", "rawtext", "weird-tags"])
+def test_tokenizer_family_exact_parity(frags):
+    """Entity references (named/numeric/malformed), comment/bogus
+    markup, attribute syntax soup, rawtext boundaries and tag-name
+    edge cases: exact content-projection parity with html5lib."""
+    rng = random.Random(sum(map(ord, frags[0])))
+    for _ in range(300):
+        n = rng.randrange(3, 30)
+        html = "<body>" + "".join(rng.choice(frags) for _ in range(n))
+        assert project(ours_canon(html)) == project(h5_canon(html)), html
+
+
 def test_in_select_content_restrictions():
     """Pinned WITHOUT html5lib: spec 'in select' ignores stray start
     and end tags, pops sibling optgroups only inside select, and the
