@@ -394,3 +394,85 @@ def lsh_topk(
             F.col("cosine_r"),
         )
     )
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame, k: int = 4, n_iters: int = 2, dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the clustering pass
+    behind SemDeDup-style semantic dedup sharding and corpus domain
+    analysis (cluster first, then run within-cluster near-dup /
+    pruning where the candidates actually live).
+
+    Deterministic and engine-exact by construction:
+
+    * vectors are quantized ONCE to 1e-6 fixed point (integer
+      micro-coordinates), so distances are exact integer sums — no
+      float accumulation order anywhere;
+    * initial centroids are the ``k`` lowest-vec_id vectors (j = rank);
+    * assignment is argmin of squared distance with ties to the lower
+      cluster id (encoded min over dist*100 + j);
+    * centroid updates take floor(sum/count) per coordinate (computed
+      in double, exact below 2^53), and a cluster that loses all its
+      members keeps its previous centroid.
+
+    Scale shape: per iteration one broadcast of k*dim integers into
+    the assignment expression (pure Catalyst: zip_with + aggregate —
+    no UDF), one posexplode + (cluster, pos) hash aggregation with
+    map-side partials, and a k*dim-row collect — the standard k-means
+    control-plane scalar (MLlib's runs the same loop). k and
+    n_iters are fixed, so the job is n_iters scans; at 10^12 rows use
+    a deterministic_sample for the update phase (same shape).
+    """
+    import math
+
+    if not 1 <= k <= 99:
+        raise ValueError("k must be in [1, 99] (argmin encoding)")
+    em = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("em"),
+    )
+    init = (
+        em.orderBy("vec_id").limit(k).collect()
+    )
+    centroids = {j: list(r.em) for j, r in enumerate(init)}
+
+    def assign(df: DataFrame) -> DataFrame:
+        out = df
+        for j in range(k):
+            out = out.withColumn(
+                f"c{j}", F.array(*[F.lit(int(v)) for v in centroids[j]])
+            )
+        key = F.least(*[
+            (F.expr(
+                f"aggregate(zip_with(em, c{j}, (a, b) -> (a - b) * (a - b)),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ) * 100 + F.lit(j))
+            for j in range(k)
+        ])
+        return out.select(
+            "vec_id", "em", F.pmod(key, F.lit(100)).alias("cluster")
+        )
+
+    for _ in range(n_iters):
+        assigned = assign(em)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("em").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        nxt: dict = {}
+        for r in sums:
+            nxt.setdefault(int(r.cluster), [0] * dim)[int(r.pos)] = (
+                math.floor(r.s / r.c)
+            )
+        for j in range(k):  # empty cluster keeps its previous centroid
+            centroids[j] = nxt.get(j, centroids[j])
+
+    return assign(em).select("vec_id", F.col("cluster").cast("long"))

@@ -1546,3 +1546,26 @@ def test_minhash_dedup_best_keeps_best_copy(spark):
     assert out[2].is_kept and not out[1].is_kept and not out[3].is_kept
     assert out[4].is_kept and out[4].keep_id == 4
     assert out[5].is_kept and out[5].keep_score == 2
+
+
+def test_kmeans_embeddings_separates_and_is_deterministic(embeddings, spark):
+    """k-means on the 3-cluster fixture: perfect separation after a
+    few rounds, identical assignment under any input partitioning
+    (integer fixed-point arithmetic end to end), and k bounds
+    enforced."""
+    import pytest as _pytest
+
+    from dce_spark.functions.simsearch import kmeans_embeddings
+
+    out = kmeans_embeddings(embeddings, k=3, n_iters=3, dim=8).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id % 3)
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert len(by_cluster) == 3
+    again = kmeans_embeddings(
+        embeddings.repartition(7), k=3, n_iters=3, dim=8).collect()
+    assert sorted((r.vec_id, r.cluster) for r in out) == sorted(
+        (r.vec_id, r.cluster) for r in again)
+    with _pytest.raises(ValueError):
+        kmeans_embeddings(embeddings, k=100)
