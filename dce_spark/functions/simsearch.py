@@ -476,3 +476,66 @@ def kmeans_embeddings(
             centroids[j] = nxt.get(j, centroids[j])
 
     return assign(em).select("vec_id", F.col("cluster").cast("long"))
+
+
+def semdedup(
+    embeddings: DataFrame, k: int = 4, n_iters: int = 1, dim: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means shards the
+    embedding space, then cosine pruning runs WITHIN clusters only —
+    each vector keeps the lowest vec_id among itself and its
+    >= threshold same-cluster neighbors. The clustering is what makes
+    the pairwise step tractable: pair candidates are bounded by
+    cluster size, so ``k`` should scale with N / target-cluster-size
+    at corpus scale (the paper uses tens of thousands of clusters for
+    billions of docs; the equi-join on cluster id is the same
+    bucketed shape as the LSH path, never a crossJoin).
+
+    Deterministic end to end: kmeans_embeddings is integer-exact and
+    the cosine is the sequential f64 fold. Returns
+    (vec_id, cluster, keep_id, is_kept), total over input.
+    """
+    assigned = kmeans_embeddings(embeddings, k, n_iters, dim)
+    withv = assigned.join(
+        embeddings.select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        ),
+        "vec_id",
+    )
+    a = withv.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+        "cluster",
+    )
+    b = withv.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+        "cluster",
+    )
+    edges = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            cosine_similarity_col(F.col("ea"), F.col("eb"))
+            >= threshold
+        )
+        .select("a", "b")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nbr_min = sym.groupBy("a").agg(F.min("b").alias("nbr"))
+    return (
+        assigned.join(nbr_min, assigned.vec_id == nbr_min.a, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.least(
+                F.col("vec_id"), F.coalesce("nbr", F.col("vec_id"))
+            ).cast("long").alias("keep_id"),
+            (
+                F.col("vec_id")
+                <= F.coalesce("nbr", F.col("vec_id"))
+            ).alias("is_kept"),
+        )
+    )

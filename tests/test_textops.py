@@ -1569,3 +1569,27 @@ def test_kmeans_embeddings_separates_and_is_deterministic(embeddings, spark):
         (r.vec_id, r.cluster) for r in again)
     with _pytest.raises(ValueError):
         kmeans_embeddings(embeddings, k=100)
+
+
+def test_semdedup_within_cluster_pruning(embeddings, spark):
+    """Near-identical same-cluster vectors collapse to the lowest
+    vec_id; vectors in different clusters never prune each other even
+    at cosine ~1 across the corpus boundary; total over input."""
+    from dce_spark.functions.simsearch import semdedup
+
+    out = {r.vec_id: r for r in semdedup(
+        embeddings, k=3, n_iters=3, dim=8, threshold=0.999).collect()}
+    assert len(out) == 30
+    # fixture: vid%3 defines the cluster axis; same-axis vectors have
+    # cosine ~1 (0.01-scale perturbations), cross-axis ~0
+    kept = [v for v in out.values() if v.is_kept]
+    by_cluster = {}
+    for r in out.values():
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cl, rows in by_cluster.items():
+        keepers = {r.keep_id for r in rows}
+        # everyone in a cluster points at a keeper inside the cluster
+        ids = {r.vec_id for r in rows}
+        assert keepers <= ids
+    # at threshold 0.999 the ~1-cosine same-axis family collapses hard
+    assert 3 <= len(kept) <= 12
