@@ -1164,6 +1164,59 @@ def _parse_attrs(s: str) -> list:
     return out
 
 
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\x0c />\x00]*")
+
+
+def _scan_tag_slow(html: str, lt: int):
+    """Spec-shaped manual scan for a tag the fast regex rejects —
+    typically an UNTERMINATED attribute quote (crawl corruption: a
+    flipped byte where a closing quote was). The spec tokenizer just
+    keeps consuming inside the quoted-value state until the next
+    matching quote, re-pairing the remaining quotes, and ends the tag
+    at the first '>' outside quotes; emulate exactly that so damage
+    costs one mangled attribute, not the rest of the markup dumped
+    into a text node (found by html5lib differential over mutated
+    real pages).
+
+    Returns (end_pos, is_end, name, attrs_str, hit_eof) or None when
+    '<' does not open a tag at all.
+    """
+    n = len(html)
+    pos = lt + 1
+    is_end = pos < n and html[pos] == "/"
+    if is_end:
+        pos += 1
+    m = _TAG_NAME_RE.match(html, pos)
+    if m is None:
+        return None
+    name = m.group(0)
+    i = m.end()
+    attrs_start = i
+    # Quotes open a value ONLY in value position (after '='), exactly
+    # like the spec states: a stray quote elsewhere is a junk name
+    # character, not a re-pairing opener — getting this wrong swallows
+    # real markup into phantom attribute values.
+    while i < n:
+        ch = html[i]
+        if ch == ">":
+            return (i + 1, is_end, name, html[attrs_start:i], False)
+        if ch == "=":
+            i += 1
+            while i < n and html[i] in "\t\n\x0c ":
+                i += 1
+            if i < n and html[i] in "\"'":
+                j = html.find(html[i], i + 1)
+                if j < 0:
+                    return (n, is_end, name, "", True)  # EOF in value
+                i = j + 1
+            else:
+                while i < n and html[i] not in "\t\n\x0c >":
+                    i += 1
+            continue
+        i += 1
+    return (n, is_end, name, "", True)  # EOF in tag
+
+
 def _feed_fast(builder: _TreeBuilder, html: str) -> None:
     pos = 0
     n = len(html)
@@ -1180,9 +1233,53 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
             emit_text(chunk if "&" not in chunk else _htmllib.unescape(chunk))
         m = _TAG_RE.match(html, lt)
         if m is None:
-            # '<' that does not open a tag is character data
-            emit_text("<")
-            pos = lt + 1
+            scan = _scan_tag_slow(html, lt)
+            if scan is None:
+                # '<' that does not open a tag is character data
+                emit_text("<")
+                pos = lt + 1
+                continue
+            pos, is_end, raw_name, attrs_s, hit_eof = scan
+            if hit_eof:
+                # KNOWN spec divergence, kept deliberately: the spec
+                # drops a tag cut by EOF, but the stdlib fallback
+                # tokenizer flushes it as character data and the two
+                # tokenizers must build identical trees (the dual-
+                # tokenizer parity invariant is what the golden suite
+                # leans on). A truncated tail costs a few junk text
+                # chars either way.
+                emit_text("<")
+                pos = lt + 1
+                continue
+            tag = raw_name if raw_name.islower() else raw_name.lower()
+            if is_end:
+                builder.handle_endtag(tag)
+                continue
+            self_closing = attrs_s.endswith("/")
+            attrs = _parse_attrs(
+                attrs_s[:-1] if self_closing else attrs_s
+            )
+            if self_closing:
+                builder.handle_startendtag(tag, attrs)
+            else:
+                builder.handle_starttag(tag, attrs)
+            if tag == "plaintext" and builder.in_body:
+                builder.handle_rawtext("plaintext", html[pos:])
+                return
+            if (
+                not self_closing
+                and tag in _RAWTEXT_ELEMENTS
+                and not builder._cur_foreign()
+            ):
+                endm = _RAWTEXT_END[tag].search(html, pos)
+                if endm is None:
+                    builder.handle_rawtext(tag, html[pos:])
+                    builder.handle_endtag(tag)
+                    return
+                builder.handle_rawtext(tag, html[pos:endm.start()])
+                builder.handle_endtag(tag)
+                gt = find(">", endm.end())
+                pos = n if gt < 0 else gt + 1
             continue
         pos = m.end()
         name = m.group("name")

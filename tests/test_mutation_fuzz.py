@@ -137,3 +137,51 @@ def test_htmdport_fuzz_totality():
                                          "1. z\n", "&amp;", "\n\n", "é日"]))
         out = convert_to_markdown("".join(parts))
         assert isinstance(out, str)
+
+
+def test_slow_scan_recovers_unterminated_quote():
+    """A flipped byte where a closing attribute quote was (the
+    commonest crawl corruption found by the html5lib mutation
+    differential) must cost ONE mangled attribute, not dump the rest
+    of the markup into a text node."""
+    from dce_spark.core.htmlparse import parse_html
+
+    html = ('<body><ul><li><a href="/x" data-v="broken value '
+            'data-w="w2" > Keep </a></li>'
+            '<li><a href="/y"> Also </a></li></ul>')
+    d = parse_html(html)
+    tags = list(d.tag)
+    texts = [t for t in d.text if t and t.strip()]
+    # both anchors exist as ELEMENTS and both link texts survive
+    assert tags.count("a") == 2
+    assert any("Keep" in t for t in texts)
+    assert any("Also" in t for t in texts)
+    assert not any("data-w" in t for t in texts)  # attrs never leak
+
+
+def test_slow_scan_quote_only_opens_value_position():
+    """A stray quote in attribute-NAME position must not start a
+    phantom value (spec: it is a junk name character)."""
+    from dce_spark.core.htmlparse import parse_html
+
+    html = '<body><div a"b c="v"><p>inside</p></div>tail'
+    d = parse_html(html)
+    assert "div" in list(d.tag) and "p" in list(d.tag)
+    joined = " ".join(t for t in d.text if t)
+    assert "inside" in joined and "tail" in joined
+
+
+def test_eof_inside_tag_is_total_and_tokenizer_identical():
+    """Truncation mid-tag (crawl cut): deliberately NOT the spec's
+    eof-in-tag drop — the stdlib fallback tokenizer flushes the tail
+    as character data, and the dual-tokenizer parity invariant (both
+    build identical trees) outweighs a few junk chars on a truncated
+    tail. Pinned: total, kept content intact, tokenizers agree."""
+    from dce_spark.core.htmlparse import parse_html
+
+    raw = '<body><p>kept</p><div class="x'
+    d1 = parse_html(raw, tokenizer="fast")
+    d2 = parse_html(raw, tokenizer="stdlib")
+    joined = " ".join(t for t in d1.text if t)
+    assert "kept" in joined
+    assert (list(d1.tag), list(d1.text)) == (list(d2.tag), list(d2.text))
