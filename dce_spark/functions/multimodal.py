@@ -665,9 +665,15 @@ def curate_media(
     # Null-safe fingerprint: md5(NULL) is NULL and equi-joins drop
     # NULL keys, which would silently lose null-payload rows from the
     # decision table (they must surface as keep=false/'unparseable').
+    # The null sentinel cannot collide with a real digest (md5 output
+    # is 32 hex chars), so NULL payloads and genuinely EMPTY payloads
+    # form separate dedup groups — an empty-bytes row is never judged
+    # a 'duplicate' of a null-payload keeper or vice versa.
     fp = media.select(
         F.col("media_id").cast("long").alias("media_id"),
-        F.md5(F.coalesce(F.col("payload"), F.lit(b""))).alias("_fp"),
+        F.when(F.col("payload").isNull(), F.lit("\x00null"))
+        .otherwise(F.md5(F.col("payload")))
+        .alias("_fp"),
     )
     keep_fp = fp.groupBy("_fp").agg(
         F.min("media_id").alias("_keep_id")

@@ -396,73 +396,156 @@ def lsh_topk(
     )
 
 
-def kmeans_embeddings(
-    embeddings: DataFrame, k: int = 4, n_iters: int = 2, dim: int = 64,
-) -> DataFrame:
-    """Lloyd's k-means over the embedding column — the clustering pass
-    behind SemDeDup-style semantic dedup sharding and corpus domain
-    analysis (cluster first, then run within-cluster near-dup /
-    pruning where the candidates actually live).
-
-    Deterministic and engine-exact by construction:
-
-    * vectors are quantized ONCE to 1e-6 fixed point (integer
-      micro-coordinates), so distances are exact integer sums — no
-      float accumulation order anywhere;
-    * initial centroids are the ``k`` lowest-vec_id vectors (j = rank);
-    * assignment is argmin of squared distance with ties to the lower
-      cluster id (encoded min over dist*100 + j);
-    * centroid updates take floor(sum/count) per coordinate (computed
-      in double, exact below 2^53), and a cluster that loses all its
-      members keeps its previous centroid.
-
-    Scale shape: per iteration one broadcast of k*dim integers into
-    the assignment expression (pure Catalyst: zip_with + aggregate —
-    no UDF), one posexplode + (cluster, pos) hash aggregation with
-    map-side partials, and a k*dim-row collect — the standard k-means
-    control-plane scalar (MLlib's runs the same loop). k and
-    n_iters are fixed, so the job is n_iters scans; at 10^12 rows use
-    a deterministic_sample for the update phase (same shape).
-    """
-    import math
-
-    if not 1 <= k <= 99:
-        raise ValueError("k must be in [1, 99] (argmin encoding)")
-    em = embeddings.select(
+def _quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, em): vectors quantized ONCE to 1e-6 fixed point
+    (integer micro-coordinates) so every distance downstream is an
+    exact integer sum — no float accumulation order anywhere."""
+    return embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.expr(
             "transform(embedding,"
             " x -> cast(round(cast(x as double) * 1000000) as bigint))"
         ).alias("em"),
     )
-    init = (
-        em.orderBy("vec_id").limit(k).collect()
+
+
+def _centroid_df(spark, centroids: list[list[int]]):
+    """Centroid table (j, c) — k rows of dim bigints, broadcast into
+    the assignment join. A TABLE, not k per-row literal arrays: the
+    plan size is independent of k, so tens-of-thousands of clusters
+    (the SemDeDup corpus-scale regime) compile and broadcast fine."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
     )
-    centroids = {j: list(r.em) for j, r in enumerate(init)}
 
-    def assign(df: DataFrame) -> DataFrame:
-        out = df
-        for j in range(k):
-            out = out.withColumn(
-                f"c{j}", F.array(*[F.lit(int(v)) for v in centroids[j]])
-            )
-        key = F.least(*[
-            (F.expr(
-                f"aggregate(zip_with(em, c{j}, (a, b) -> (a - b) * (a - b)),"
-                " cast(0 as bigint), (acc, x) -> acc + x)"
-            ) * 100 + F.lit(j))
-            for j in range(k)
-        ])
-        return out.select(
-            "vec_id", "em", F.pmod(key, F.lit(100)).alias("cluster")
+    schema = StructType([
+        StructField("j", IntegerType(), False),
+        StructField("c", ArrayType(LongType(), False), False),
+    ])
+    return spark.createDataFrame(
+        [(j, [int(v) for v in c]) for j, c in enumerate(centroids)],
+        schema,
+    )
+
+
+_SQDIST = (
+    "aggregate(zip_with(em, c, (a, b) -> (a - b) * (a - b)),"
+    " cast(0 as bigint), (acc, x) -> acc + x)"
+)
+
+
+def _assign_join(em: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Assignment via broadcast centroid table + min(struct(dist, j)):
+    each vector meets the k broadcast centroids (BroadcastNestedLoop —
+    no shuffle of the big side), the integer squared distance is a
+    Catalyst fold, and the argmin is the struct MIN (dist first, then
+    j — ties to the LOWER cluster id), aggregated with map-side
+    partials so the groupBy shuffles one row per vector. No encoding,
+    no cap on k. Returns (vec_id, em, cluster)."""
+    cent = F.broadcast(_centroid_df(em.sparkSession, centroids))
+    scored = em.crossJoin(cent).select(
+        "vec_id", "em",
+        F.struct(
+            F.expr(_SQDIST).alias("d"), F.col("j").alias("j")
+        ).alias("dj"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("dj").alias("m"), F.first("em").alias("em"))
+        .select(
+            "vec_id", "em", F.col("m.j").cast("long").alias("cluster")
         )
+    )
 
-    for _ in range(n_iters):
-        assigned = assign(em)
-        sums = (
-            assigned.select(
-                "cluster", F.posexplode("em").alias("pos", "v")
+
+def _assign_arrow(em: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Assignment via an Arrow-batched NumPy matmul — the very-large-k
+    path (k in the tens of thousands): per batch one int64
+    ``|x|^2 - 2 X @ C.T + |c|^2`` and an argmin, instead of a k-way
+    row blowup. int64 throughout (micro-coords <= ~2e6, dot terms
+    <= 64 * 4e12 — exact), and ``np.argmin`` takes the FIRST minimum,
+    i.e. ties to the lower cluster id — bit-identical to
+    ``_assign_join`` (pinned by test_kmeans_assign_paths_identical)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["em"]]
             )
+            xn = (X * X).sum(axis=1)
+            d = xn[:, None] - 2 * (X @ C.T) + cn[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "em": pdf["em"],
+                "cluster": np.argmin(d, axis=1).astype("int64"),
+            })
+
+    out_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("em", ArrayType(LongType())),
+        StructField("cluster", LongType()),
+    ])
+    return em.mapInPandas(kernel, out_schema)
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    assign_via: str = "join",
+) -> list[list[int]]:
+    """Fit Lloyd's k-means and return the FINAL centroids as k lists
+    of dim fixed-point (1e-6) integers — the reusable model behind
+    ``kmeans_embeddings``, ``semdedup`` sharding, and ``ivf_topk``
+    routing.
+
+    Deterministic and engine-exact by construction:
+
+    * initial centroids are the ``k`` lowest-vec_id vectors (j = rank);
+    * assignment is argmin of exact integer squared distance with ties
+      to the lower cluster id (struct-min — no k cap);
+    * centroid updates take floor(sum/count) per coordinate (computed
+      in double, exact below 2^53), and a cluster that loses all its
+      members keeps its previous centroid.
+
+    Scale shape: per iteration one broadcast of the k*dim-integer
+    centroid table into the assignment join, one posexplode +
+    (cluster, pos) hash aggregation with map-side partials, and a
+    k*dim-row collect — the standard k-means control-plane scalar
+    (MLlib's runs the same loop). ``assign_via="arrow"`` swaps the
+    broadcast-join argmin for a NumPy matmul per Arrow batch (the
+    tens-of-thousands-of-clusters regime; identical output). At
+    10^12 rows run the update phase over a deterministic_sample
+    (same shape).
+    """
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    em = _quantize_embeddings(embeddings)
+    init = em.orderBy("vec_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(
+            f"k={k} exceeds the number of vectors ({len(init)})"
+        )
+    assign = _assign_arrow if assign_via == "arrow" else _assign_join
+    centroids = [list(r.em) for r in init]
+    for _ in range(n_iters):
+        sums = (
+            assign(em, centroids)
+            .select("cluster", F.posexplode("em").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
             .collect()
@@ -472,15 +555,50 @@ def kmeans_embeddings(
             nxt.setdefault(int(r.cluster), [0] * dim)[int(r.pos)] = (
                 math.floor(r.s / r.c)
             )
-        for j in range(k):  # empty cluster keeps its previous centroid
-            centroids[j] = nxt.get(j, centroids[j])
+        centroids = [  # empty cluster keeps its previous centroid
+            nxt.get(j, centroids[j]) for j in range(k)
+        ]
+    return centroids
 
-    return assign(em).select("vec_id", F.col("cluster").cast("long"))
+
+def kmeans_embeddings(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    assign_via: str = "join",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the clustering pass
+    behind SemDeDup-style semantic dedup sharding and corpus domain
+    analysis (cluster first, then run within-cluster near-dup /
+    pruning where the candidates actually live). Returns
+    (vec_id, cluster); see ``kmeans_fit`` for the model semantics and
+    the scale shape."""
+    centroids = kmeans_fit(embeddings, k, n_iters, dim, assign_via)
+    assign = _assign_arrow if assign_via == "arrow" else _assign_join
+    return assign(_quantize_embeddings(embeddings), centroids).select(
+        "vec_id", F.col("cluster").cast("long")
+    )
+
+
+def split_bits(cnt: int, cap: int, max_bits: int = 16) -> int:
+    """Bits of LSH sub-bucket a cluster of ``cnt`` members needs so the
+    EXPECTED sub-cluster size is <= cap: the smallest p with
+    cnt <= cap * 2^p. Written as ceil(log2(m + 1)) for
+    m = (cnt - 1) // cap — integer-derived, so the identical formula
+    is float-safe in SQL oracles (log2 of a small exact integer never
+    lands a ULP below an integer boundary)."""
+    import math
+
+    if cnt <= cap:
+        return 0
+    return min(max_bits, math.ceil(math.log2((cnt - 1) // cap + 1)))
 
 
 def semdedup(
     embeddings: DataFrame, k: int = 4, n_iters: int = 1, dim: int = 64,
-    threshold: float = 0.95,
+    threshold: float = 0.95, max_cluster_size: int | None = None,
+    sub_planes: int = 16,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means shards the
@@ -493,10 +611,39 @@ def semdedup(
     billions of docs; the equi-join on cluster id is the same
     bucketed shape as the LSH path, never a crossJoin).
 
-    Deterministic end to end: kmeans_embeddings is integer-exact and
-    the cosine is the sequential f64 fold. Returns
+    ``max_cluster_size`` bounds the pairwise step BY CONSTRUCTION —
+    the 100 TB guard against skewed clusters (k-means on web corpora
+    reliably produces a few giant template clusters whose c^2 pair
+    count would dominate the job):
+
+    * clusters over the cap are sub-sharded by deterministic
+      integer-hyperplane LSH signs (family table=1; similar vectors
+      land in the same sub-bucket, so recall degrades gracefully, not
+      arbitrarily). Each cluster masks the shared ``sub_planes``-bit
+      bucket down to its OWN ``split_bits(count)`` low bits via a
+      broadcast (cluster -> mask) table, so small clusters keep
+      sub = 0 and are untouched;
+    * a final deterministic chunk pass (row_number by vec_id within
+      (cluster, sub), cap-sized chunks) HARD-caps every pairing group
+      at ``max_cluster_size`` rows even for adversarial inputs LSH
+      cannot split (e.g. millions of identical vectors — which exact
+      dedup should have removed upstream). The chunk window sorts one
+      (cluster, sub) group per task: worst case N log N in one
+      partition, still incomparably cheaper than the c^2 pair join it
+      prevents.
+
+    The pair join key is then (cluster, sub, chunk) — pair count
+    <= groups * cap^2 by construction. ``max_cluster_size=None``
+    keeps the paper's plain within-cluster semantics (and the
+    round-5 plan/oracle byte-identically).
+
+    Deterministic end to end: kmeans_embeddings is integer-exact, the
+    sub-shard is integer-sign LSH, the chunk order is vec_id, and the
+    cosine is the sequential f64 fold. Returns
     (vec_id, cluster, keep_id, is_kept), total over input.
     """
+    from pyspark.sql.window import Window
+
     assigned = kmeans_embeddings(embeddings, k, n_iters, dim)
     withv = assigned.join(
         embeddings.select(
@@ -504,16 +651,49 @@ def semdedup(
         ),
         "vec_id",
     )
+    group_key = ["cluster"]
+    if max_cluster_size is not None:
+        cap = int(max_cluster_size)
+        if cap < 1:
+            raise ValueError("max_cluster_size must be >= 1")
+        sizes = assigned.groupBy("cluster").agg(
+            F.count("*").alias("cnt")
+        ).collect()  # k rows — control-plane scalar, like the centroids
+        masks = [
+            (int(r.cluster), (1 << split_bits(int(r.cnt), cap,
+                                              sub_planes)) - 1)
+            for r in sizes
+        ]
+        if any(m for _, m in masks):
+            info = F.broadcast(
+                withv.sparkSession.createDataFrame(
+                    masks, "cluster long, mask long"
+                )
+            )
+            withv = withv.join(info, "cluster", "left").withColumn(
+                "sub",
+                lsh_bucket_col(
+                    F.col("embedding"), sub_planes, dim, table=1
+                ).bitwiseAND(F.coalesce("mask", F.lit(0))),
+            ).drop("mask")
+        else:
+            withv = withv.withColumn("sub", F.lit(0).cast("long"))
+        w = Window.partitionBy("cluster", "sub").orderBy("vec_id")
+        withv = withv.withColumn(
+            "chunk",
+            F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(cap)),
+        )
+        group_key = ["cluster", "sub", "chunk"]
     a = withv.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
-        "cluster",
+        *group_key,
     )
     b = withv.select(
         F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
-        "cluster",
+        *group_key,
     )
     edges = (
-        a.join(b, "cluster")
+        a.join(b, group_key)
         .filter(F.col("a") < F.col("b"))
         .filter(
             cosine_similarity_col(F.col("ea"), F.col("eb"))
@@ -537,5 +717,104 @@ def semdedup(
                 F.col("vec_id")
                 <= F.coalesce("nbr", F.col("vec_id"))
             ).alias("is_kept"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_iters: int = 1,
+    dim: int = 64,
+    n_probes: int = 2,
+    assign_via: str = "join",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse k-means quantizer routes each
+    candidate into ONE inverted list (its nearest centroid); a query
+    probes its ``n_probes`` nearest centroids and exact cosine runs
+    only within the probed lists. The alternative to hyperplane LSH
+    (``lsh_topk``) with better recall/cost at high dimension: bucket
+    boundaries follow the DATA (learned centroids) instead of random
+    hyperplanes, and recall is tuned by ``n_probes`` alone without
+    re-bucketing the corpus.
+
+    Same bucketed-equi-join shape as the LSH path — candidates join
+    query probes on the int cluster id, never a crossJoin over the
+    corpus. A candidate lives in exactly one list, so a (query, cand)
+    pair is produced at most once regardless of ``n_probes`` — no
+    dedup pass needed (unlike multi-table LSH). At 10^12 rows
+    ``n_clusters`` scales with N / target-list-size (the struct-min /
+    Arrow assignment has no k cap) and the fit phase runs over a
+    deterministic sample.
+
+    Deterministic end to end: kmeans_fit is integer-exact, probe
+    ranking orders by exact integer (distance, j), and final ranking
+    by (rounded cosine desc, cand_id). Output
+    (query_id, cand_id, rank, cosine_r) — the lsh_topk schema.
+    """
+    from pyspark.sql.window import Window
+
+    centroids = kmeans_fit(
+        embeddings, n_clusters, n_iters, dim, assign_via
+    )
+    assign = _assign_arrow if assign_via == "arrow" else _assign_join
+    em = _quantize_embeddings(embeddings)
+    cands = (
+        assign(em.filter(F.col("vec_id") >= n_queries), centroids)
+        .select("vec_id", "cluster")
+        .join(
+            embeddings.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            "vec_id",
+        )
+        .select(F.col("vec_id").alias("cand_id"), "c_emb", "cluster")
+    )
+    cent = F.broadcast(_centroid_df(em.sparkSession, centroids))
+    qw = Window.partitionBy("vec_id").orderBy("d", "j")
+    probes = (
+        em.filter(F.col("vec_id") < n_queries)
+        .crossJoin(cent)
+        .select(
+            "vec_id", F.expr(_SQDIST).alias("d"), F.col("j").alias("j")
+        )
+        .withColumn("pr", F.row_number().over(qw))
+        .filter(F.col("pr") <= n_probes)
+        .join(
+            embeddings.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("embedding").alias("q_emb"),
+            ),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("query_id"), "q_emb",
+            F.col("j").cast("long").alias("cluster"),
+        )
+    )
+    scored = (
+        cands.join(F.broadcast(probes), "cluster")
+        .withColumn(
+            "cosine_r",
+            F.round(
+                cosine_similarity_col(F.col("q_emb"), F.col("c_emb")), 6
+            ),
+        )
+        .select("query_id", "cand_id", "cosine_r")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("cand_id").cast("long").alias("cand_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cosine_r"),
         )
     )

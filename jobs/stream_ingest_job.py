@@ -79,13 +79,18 @@ def main() -> None:
         # A drain where the gate filters every page writes zero part
         # files; schema inference then raises. That is the realistic
         # all-duplicates re-crawl case — report rows_out=0 instead of
-        # crashing before the JSON line a scheduler parses.
-        try:
+        # crashing before the JSON line a scheduler parses. The empty
+        # case is detected EXPLICITLY (no part files on disk), so any
+        # other read failure — corrupt part files, permissions, wrong
+        # path with data present — propagates instead of masquerading
+        # as a successful zero-row drain.
+        parts = list(Path(args.output).glob("part-*"))
+        if not parts:
+            rows_out = urls_out = 0
+        else:
             out = spark.read.parquet(args.output)
             rows_out = out.count()
             urls_out = out.select("url").distinct().count()
-        except Exception:
-            rows_out = urls_out = 0
         print(
             json.dumps(
                 {

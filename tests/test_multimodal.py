@@ -277,15 +277,20 @@ def test_curate_media_gates(spark):
         (4, "image", b"junk bytes", "image/png", None, None, None),
         (5, "image", _gif(100, 100), "image/gif", None, None, None),
         (6, "image", None, "image/png", None, None, None),  # null payload
+        (7, "image", b"", "image/png", None, None, None),   # EMPTY payload
     ]
     out = {r.media_id: (r.keep, r.reason) for r in curate_media(
         spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
     # Total over input: the null-payload row must SURVIVE to the
     # decision table (md5(NULL) would vanish through the equi-joins)
-    assert len(out) == 6
+    assert len(out) == 7
     assert out[1] == (True, None)
     assert out[2] == (False, "duplicate")
     assert out[3] == (False, "too_small")
     assert out[4] == (False, "unparseable")
     assert out[5] == (True, None)
     assert out[6] == (False, "unparseable")
+    # null and zero-byte payloads are distinct fingerprint groups (the
+    # null sentinel can't collide with md5(b'')): each is judged
+    # independently as unparseable, never as the other's duplicate
+    assert out[7] == (False, "unparseable")

@@ -385,3 +385,35 @@ def test_schedule_fetches_plan_single_host_window(spark):
     assert plan.count("Window") == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_bounded_pair_join_key(spark):
+    """The 100 TB SemDeDup guard: the candidate pair join keys on
+    (cluster, sub, chunk) — pair counts bounded by construction via
+    LSH sub-shards + hard chunking — and the corpus side never meets
+    itself in a cartesian. (The k-means assignment's broadcast of the
+    tiny centroid table is a BroadcastNestedLoop by design, so only
+    CartesianProduct is banned.)"""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["emb_semdedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "cluster" in ln and "BroadcastNestedLoop"
+        not in ln
+    ]
+    assert any(
+        "sub" in ln and "chunk" in ln for ln in join_lines
+    ), join_lines
+
+
+def test_ivf_topk_plan_bucketed_no_cartesian(spark):
+    """IVF ANN stays a bucketed equi-join on the cluster id: no
+    CartesianProduct anywhere, and the default (struct-min) assignment
+    is pure Catalyst — no Python in the plan."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["emb_ivf_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -1593,3 +1593,136 @@ def test_semdedup_within_cluster_pruning(embeddings, spark):
         assert keepers <= ids
     # at threshold 0.999 the ~1-cosine same-axis family collapses hard
     assert 3 <= len(kept) <= 12
+
+
+def test_kmeans_uncapped_k_and_paths_identical(spark):
+    """The k <= 99 argmin-encoding cap is gone: k=64 and k=120 both
+    run, and the broadcast-join struct-min path and the Arrow matmul
+    path produce bit-identical assignments (both are exact int64
+    argmin with ties to the lower cluster id)."""
+    import math
+
+    from dce_spark.functions.simsearch import kmeans_embeddings
+
+    rows = []
+    for vid in range(150):
+        vec = [math.sin(vid * 13 + d * 5) for d in range(8)]
+        rows.append((vid, vec))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(
+        (r.vec_id, r.cluster)
+        for r in kmeans_embeddings(emb, k=64, n_iters=2, dim=8).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster)
+        for r in kmeans_embeddings(
+            emb, k=64, n_iters=2, dim=8, assign_via="arrow"
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 150 and len({c for _, c in a}) > 8
+    big = kmeans_embeddings(emb, k=120, n_iters=1, dim=8).collect()
+    assert len(big) == 150
+    assert max(r.cluster for r in big) >= 100  # beyond the old cap
+
+
+def test_kmeans_k1_single_cluster(embeddings):
+    """k=1 (documented valid) no longer breaks the argmin expression:
+    every vector lands in cluster 0."""
+    from dce_spark.functions.simsearch import kmeans_embeddings
+
+    out = kmeans_embeddings(embeddings, k=1, n_iters=1, dim=8).collect()
+    assert len(out) == 30 and {r.cluster for r in out} == {0}
+
+
+def test_semdedup_bounded_matches_unbounded_when_cap_loose(embeddings):
+    """A cap no cluster exceeds leaves the decision bit-identical to
+    the paper's plain within-cluster semantics (sub and chunk collapse
+    to constants)."""
+    from dce_spark.functions.simsearch import semdedup
+
+    plain = sorted(
+        tuple(r) for r in semdedup(
+            embeddings, k=3, n_iters=3, dim=8, threshold=0.999
+        ).collect()
+    )
+    capped = sorted(
+        tuple(r) for r in semdedup(
+            embeddings, k=3, n_iters=3, dim=8, threshold=0.999,
+            max_cluster_size=1000,
+        ).collect()
+    )
+    assert plain == capped
+
+
+def test_semdedup_tight_cap_total_and_deterministic(embeddings):
+    """With a tight cap the decision stays total over the input, every
+    keeper is a real same-cluster member, and the output is identical
+    under any input partitioning (LSH sub-shard and vec_id-ordered
+    chunking are both deterministic)."""
+    from dce_spark.functions.simsearch import semdedup
+
+    out = semdedup(
+        embeddings, k=3, n_iters=3, dim=8, threshold=0.999,
+        max_cluster_size=3,
+    ).collect()
+    assert len(out) == 30
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+    for r in out:
+        assert r.keep_id in by_cluster[r.cluster]
+        assert r.is_kept == (r.keep_id == r.vec_id)
+    again = semdedup(
+        embeddings.repartition(7), k=3, n_iters=3, dim=8,
+        threshold=0.999, max_cluster_size=3,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_split_bits_formula():
+    """split_bits = smallest p with cnt <= cap * 2^p (0 for fitting
+    clusters), capped at max_bits — the SQL-replicable closed form."""
+    from dce_spark.functions.simsearch import split_bits
+
+    for cnt, cap, want in [
+        (10, 64, 0), (64, 64, 0), (65, 64, 1), (128, 64, 1),
+        (129, 64, 2), (256, 64, 2), (257, 64, 3), (512, 64, 3),
+        (513, 64, 4), (10**9, 64, 16),
+    ]:
+        assert split_bits(cnt, cap) == want, (cnt, cap)
+        if want < 16:
+            assert cnt <= cap * (1 << want)
+            assert want == 0 or cnt > cap * (1 << (want - 1))
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with 2 probes on an 8-mode corpus recovers >= 0.9 of the
+    exact brute-force top-k pairs (mirrors the LSH recall bar)."""
+    import math
+
+    from dce_spark.functions.simsearch import brute_force_topk, ivf_topk
+
+    rows = []
+    for vid in range(200):
+        axis = vid % 8
+        base = [0.0] * 16
+        base[axis * 2] = 1.0
+        vec = [
+            b + 0.02 * math.sin(vid * 7 + d) for d, b in enumerate(base)
+        ]
+        rows.append((vid, vec))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bf = {
+        (r.query_id, r.cand_id)
+        for r in brute_force_topk(emb, n_queries=10, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.cand_id)
+        for r in ivf_topk(
+            emb, n_queries=10, k=5, n_clusters=8, n_iters=2, dim=16,
+            n_probes=2,
+        ).collect()
+    }
+    assert len(bf) == 50
+    assert len(ivf & bf) / len(bf) >= 0.9
