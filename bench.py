@@ -37,6 +37,10 @@ Environment:
   SPARK_GRAFT_SCALE_N  scaling pair base N (default 2; runs N and 4N)
   SPARK_GRAFT_PAGES    synthetic corpus size (default 6000)
   SPARK_GRAFT_SKIP_SCALING  set to skip the N/4N runs
+  SPARK_GRAFT_SUSTAINED_PAGES  sustained-run corpus size (default
+                       48000 = 8x headline; one long run reported as
+                       sustained_pps with an adjacent control pair)
+  SPARK_GRAFT_SKIP_SUSTAINED  set to skip the sustained run
 """
 
 from __future__ import annotations
@@ -76,11 +80,11 @@ def _ensure_corpus(spark) -> int:
     return spark.read.parquet(CORPUS_PATH).count()
 
 
-def _extract_job(spark, limit: int | None = None):
+def _extract_job(spark, limit: int | None = None, path: str = None):
     """scan (pre-salted buckets) -> mapInArrow -> full materialization."""
     from dce_spark.spark.udf import attach_extraction
 
-    pages = spark.read.parquet(CORPUS_PATH)
+    pages = spark.read.parquet(path or CORPUS_PATH)
     if limit:
         pages = pages.limit(limit)
     out = attach_extraction(pages, mode="both")
@@ -237,6 +241,36 @@ def main() -> None:
     # late headline repeats: ~minutes after the early block, sampling a
     # different machine-noise window within the same session
     sample_headline(2)
+
+    # --- sustained throughput: one long run (default 8x the headline
+    # corpus) so the 100x-scale story isn't carried by a ~2 s burst.
+    # A long run necessarily averages across machine-noise windows, so
+    # it carries its OWN adjacent control pair (before/after): the
+    # normalized figure scales by the fastest control seen anywhere in
+    # this bench over the mean control during the run. ---
+    sustained = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SUSTAINED"):
+        from dce_spark.spark.corpus import write_pages_parquet
+
+        sus_pages = int(
+            os.environ.get("SPARK_GRAFT_SUSTAINED_PAGES", "48000")
+        )
+        sus_corpus = f"/tmp/dce_bench_corpus_{sus_pages}"
+        if not (Path(sus_corpus) / "_SUCCESS").exists():
+            write_pages_parquet(
+                spark, sus_corpus, sus_pages, include_fixtures=False
+            )
+        ctrl_before = _scalar_control(ctrl_pages)
+        t0 = time.time()
+        _extract_job(spark, path=sus_corpus)
+        sus_wall = time.time() - t0
+        ctrl_after = _scalar_control(ctrl_pages)
+        sustained = {
+            "sustained_pages": sus_pages,
+            "sustained_wall": round(sus_wall, 3),
+            "sustained_pps": round(sus_pages / sus_wall, 2),
+            "sustained_ctrl_pps": [ctrl_before, ctrl_after],
+        }
     spark.stop()
     time.sleep(2)
 
@@ -280,6 +314,18 @@ def main() -> None:
             2,
         ),
     }
+    if sustained is not None:
+        best_ctrl = max(
+            max(r["ctrl_pps"] for r in headline_runs), best_scalar_pps
+        )
+        mean_ctrl = (
+            sustained["sustained_ctrl_pps"][0]
+            + sustained["sustained_ctrl_pps"][1]
+        ) / 2.0
+        sustained["sustained_pps_normalized"] = round(
+            sustained["sustained_pps"] * best_ctrl / mean_ctrl, 2
+        )
+        out.update(sustained)
     if scaling is not None:
         out.update(scaling)
     print(json.dumps(out))

@@ -1114,9 +1114,21 @@ def _has_font_breakout_attr(attrs) -> bool:
 _RAWTEXT_ELEMENTS = frozenset(_TreeBuilder.CDATA_CONTENT_ELEMENTS)
 
 _TAG_RE = re.compile(
+    # Attrs region: a quote PAIRS (and may span '>') only in value
+    # position (right after '=' plus optional whitespace) — exactly
+    # the spec's attribute states. A bare quote elsewhere is a single
+    # junk name character; letting it open a phantom pair swallowed
+    # real markup into attribute values on mutated pages (html5lib
+    # differential). '=' followed by an UNPAIRED quote fails the whole
+    # match so _scan_tag_slow applies the spec's swallow-to-next-quote
+    # recovery instead.
     r"<(?:"
     r"(?P<end>/)?(?P<name>[a-zA-Z][^\t\n\x0c />\x00]*)"
-    r"(?P<attrs>(?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
+    r"(?P<attrs>(?:[^>\"'=]"
+    r"|=[\t\n\x0c ]*\"[^\"]*\""
+    r"|=[\t\n\x0c ]*'[^']*'"
+    r"|=[\t\n\x0c ]*(?![\"'])"
+    r"|[\"'])*)>"
     r"|(?P<comment>!--)"
     r"|(?P<decl>![^>]*)>"
     r"|(?P<pi>\?[^>]*)>"
@@ -1233,6 +1245,17 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
             emit_text(chunk if "&" not in chunk else _htmllib.unescape(chunk))
         m = _TAG_RE.match(html, lt)
         if m is None:
+            if html.startswith("</", lt) and html[lt + 2: lt + 3]:
+                nxt2 = html[lt + 2]
+                if not _ascii_alpha(nxt2):
+                    # spec end-tag-open with a non-alpha next char:
+                    # `</>` is a missing-end-tag-name (dropped) and
+                    # anything else (`</=>`, `</ x>`) is a BOGUS
+                    # COMMENT consumed through the next `>` — never
+                    # character data (stdlib html.parser agrees)
+                    gt = find(">", lt + 2)
+                    pos = n if gt < 0 else gt + 1
+                    continue
             scan = _scan_tag_slow(html, lt)
             if scan is None:
                 # '<' that does not open a tag is character data
@@ -1241,13 +1264,16 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
                 continue
             pos, is_end, raw_name, attrs_s, hit_eof = scan
             if hit_eof:
-                # KNOWN spec divergence, kept deliberately: the spec
-                # drops a tag cut by EOF, but the stdlib fallback
-                # tokenizer flushes it as character data and the two
-                # tokenizers must build identical trees (the dual-
-                # tokenizer parity invariant is what the golden suite
-                # leans on). A truncated tail costs a few junk text
-                # chars either way.
+                # Residual EOF-in-tag safety net. The common trailing
+                # fragment is already dropped spec-identically by
+                # _strip_eof_tag_fragment; this branch is reachable
+                # only when a quoted attribute VALUE swallows the last
+                # '>' of the document (`<a href="foo > bar` + EOF) —
+                # the spec drops everything from the '<', but the
+                # stdlib fallback tokenizer flushes it as character
+                # data and the dual-tokenizer parity invariant (both
+                # build identical trees) wins: we keep a superstring
+                # of the spec text, never less.
                 emit_text("<")
                 pos = lt + 1
                 continue
@@ -1339,11 +1365,47 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
         # processing instruction / bogus comment: skipped
 
 
+def _ascii_alpha(ch: str) -> bool:
+    return "a" <= ch <= "z" or "A" <= ch <= "Z"
+
+
+def _strip_eof_tag_fragment(html: str) -> str:
+    """Drop a trailing unterminated tag fragment (`...<a href="/x` at
+    EOF with no closing `>`), the commonest crawl truncation. The spec
+    tokenizer DROPS a tag hit by EOF (eof-in-tag: emit nothing), as do
+    html5lib and html5ever (the reference's parser, html/src/tokenizer
+    studied for parity); flushing it as text both leaks markup into
+    extracted content and breaks differential parity. One shared
+    pre-pass keeps the two tokenizers (fast scan / stdlib fallback)
+    byte-identical without per-tokenizer EOF surgery. Only a genuine
+    tag-open start truncates (`<x`, `</x`, `<!`, `<?`); a lone `<`,
+    `</` or `< p` tail stays — the spec emits those as character
+    data."""
+    start = html.rfind(">") + 1
+    # the `>`-free tail can chain raw `<`s (`...<sp<`, `...</s<li`):
+    # the FIRST tag-opening `<` swallows the rest into its tag name,
+    # so truncation happens there, not at the last `<`
+    i = html.find("<", start)
+    while i >= 0:
+        nxt = html[i + 1: i + 2]
+        if _ascii_alpha(nxt) or nxt in ("!", "?"):
+            return html[:i]
+        if nxt == "/" and html[i + 2: i + 3]:
+            # `</x...` EOF drops the tag; `</junk...` EOF is a bogus
+            # comment consumed to end-of-file (comment, never text) —
+            # either way the fragment yields no character data. Only a
+            # bare trailing `</` stays (spec emits it as text).
+            return html[:i]
+        i = html.find("<", i + 1)
+    return html
+
+
 def parse_html(html: str, tokenizer: str = "fast") -> Document:
     """Parse an HTML string into the pre-order body node table."""
     # Input-stream preprocessing per spec: normalize newlines.
     if "\r" in html:
         html = html.replace("\r\n", "\n").replace("\r", "\n")
+    html = _strip_eof_tag_fragment(html)
     builder = _TreeBuilder()
     try:
         if tokenizer == "fast":

@@ -8,13 +8,18 @@ numbers meaningful: the gold text comes from the page's CONTENT MODEL
 (what an ideal extractor would return), not from running the extractor
 — scores measure real extraction quality, they are not circular.
 
-Six site templates cover the boilerplate patterns CleanEval-class
+Nine site templates cover the boilerplate patterns CleanEval-class
 corpora exercise: news article (nav/ticker/comments), blog post
 (blockquote/list/author box), documentation page (TOC sidebar, code,
 parameter table), product page (specs, reviews, related links), recipe
-(ingredients + steps + comments), and wiki article (infobox,
-references). Boilerplate regions (navigation, comments, related links,
-references, infoboxes, tag clouds) are EXCLUDED from gold; an extractor
+(ingredients + steps + comments), wiki article (infobox, references),
+forum thread (posts are user text = gold; thread rail/pagination are
+not), paywall teaser (visible lede only; subscribe prompt and plan
+cards must not leak), and FAQ page (Q/A pairs; cookie banner and CTA
+strips are boilerplate). Template boilerplate regions (navigation,
+related links, references, infoboxes, tag clouds) are EXCLUDED from
+gold, while page-specific user text (comments, reviews, forum posts)
+is gold per the CleanEval convention; an extractor
 that leaks them loses precision, one that drops content loses recall.
 
 Everything is seeded (no RNG at import, no wall-clock) and sized
@@ -235,8 +240,106 @@ def _tpl_wiki(rng: random.Random) -> tuple[str, list[str]]:
     return html, [subject] + g1 + [s1_h] + g2 + [s2_h] + g3
 
 
+def _tpl_forum(rng: random.Random) -> tuple[str, list[str]]:
+    """Forum thread: every post body is page-specific user text (gold
+    under the CleanEval convention); the thread-list rail, pagination
+    and per-post metadata chrome are template boilerplate."""
+    title = _sentence(rng, 8)[:-1] + "?"
+    posts = []
+    gold = [title]
+    for k in range(rng.randrange(4, 7)):
+        author = f"member{rng.randrange(9999)}"
+        body = " ".join(
+            _sentence(rng, rng.randrange(8, 18))
+            for _ in range(rng.randrange(1, 3))
+        )
+        posts.append(
+            f'<div class="post"><div class="post-meta">'
+            f'<span class="author">{author}</span>'
+            f'<span class="post-no"><a href="/thread/{k}">#{k + 1}</a>'
+            f"</span></div><div class=\"post-body\"><p>{body}</p></div>"
+            f"</div>"
+        )
+        gold.append(f"{author} #{k + 1} {body}")
+    rail = "".join(
+        f'<li><a href="/t/{k}">{_sentence(rng, 6)}</a>'
+        f'<span class="replies">{rng.randrange(99)} replies</span></li>'
+        for k in range(15)
+    )
+    pages_bar = "".join(
+        f'<a href="/thread?page={k}">{k}</a>' for k in range(1, 9)
+    )
+    html = f"""{_nav(rng, 9)}
+<div class="breadcrumb"><a href="/">Forum</a> / <a href="/cat">General</a></div>
+<div class="thread"><h1>{title}</h1>
+{''.join(posts)}
+<div class="pagination">{pages_bar}</div>
+</div>
+<aside class="threadlist"><h4>Active threads</h4><ul>{rail}</ul></aside>
+<footer>{_nav(rng, 8)}</footer>"""
+    return html, gold
+
+
+def _tpl_paywall(rng: random.Random) -> tuple[str, list[str]]:
+    """Paywall teaser: only the visible lede paragraphs are content;
+    the subscribe prompt, plan cards and newsletter form are template
+    boilerplate an extractor must not leak (the adversarial case —
+    the prompt sits mid-article where content density is high)."""
+    headline = _sentence(rng, 10)[:-1]
+    deck = _sentence(rng, 13)
+    visible, g1 = _paras(rng, rng.randrange(5, 8))
+    plans = "".join(
+        f'<div class="plan"><h5>{w.title()} plan</h5>'
+        f'<a href="/subscribe/{w}">Choose {w}</a></div>'
+        for w in rng.sample(_WORDS, 3)
+    )
+    html = f"""{_nav(rng)}
+<div class="breadcrumb"><a href="/">Home</a> / <a href="/opinion">Opinion</a></div>
+<article><h1>{headline}</h1><p class="deck">{deck}</p>
+{visible}
+<div class="paywall"><h4>Subscribe to continue reading</h4>
+<p class="pitch">Unlimited access to every article.</p>
+<div class="plans">{plans}</div>
+<form class="newsletter"><label>Email</label><input type="email">
+<button>Sign up for the newsletter</button></form>
+</div>
+</article>
+<footer>{_nav(rng, 10)}</footer>"""
+    return html, [headline, deck] + g1
+
+
+def _tpl_faq(rng: random.Random) -> tuple[str, list[str]]:
+    """FAQ/help page: question/answer pairs are content; cookie
+    banner, CTA strip and support-channel cards are boilerplate."""
+    h1 = f"Frequently asked questions about {rng.choice(_WORDS)}"
+    gold = [h1]
+    qa = []
+    for _ in range(rng.randrange(6, 9)):
+        q = _sentence(rng, rng.randrange(6, 11))[:-1] + "?"
+        a = " ".join(
+            _sentence(rng, rng.randrange(10, 22))
+            for _ in range(rng.randrange(1, 3))
+        )
+        qa.append(f"<details><summary>{q}</summary><p>{a}</p></details>")
+        gold += [q, a]
+    cards = "".join(
+        f'<div class="card"><a href="/help/{w}">{w.title()} center</a></div>'
+        for w in rng.sample(_WORDS, 4)
+    )
+    html = f"""<div class="cookie-banner">We use cookies.
+<a href="/cookies">Manage preferences</a> <button>Accept all</button></div>
+{_nav(rng, 8)}
+<main><h1>{h1}</h1>
+{''.join(qa)}
+</main>
+<div class="cta-strip"><a href="/signup">Start your free trial</a></div>
+<div class="support-cards">{cards}</div>
+<footer>{_nav(rng, 9)}</footer>"""
+    return html, gold
+
+
 _TEMPLATES = (_tpl_news, _tpl_blog, _tpl_docs, _tpl_product, _tpl_recipe,
-              _tpl_wiki)
+              _tpl_wiki, _tpl_forum, _tpl_paywall, _tpl_faq)
 
 
 def eval_page(i: int, seed: int = EVAL_SEED) -> dict:
@@ -263,11 +366,11 @@ def eval_page(i: int, seed: int = EVAL_SEED) -> dict:
     }
 
 
-def eval_rows(n: int = 110, seed: int = EVAL_SEED) -> list[dict]:
+def eval_rows(n: int = 144, seed: int = EVAL_SEED) -> list[dict]:
     return [eval_page(i, seed) for i in range(n)]
 
 
-def build_eval_pages_df(spark, n: int = 110):
+def build_eval_pages_df(spark, n: int = 144):
     """The eval pages as a pages-schema DataFrame (gold column dropped;
     gold lives in the committed eval_gold parquet)."""
 

@@ -172,11 +172,12 @@ def test_slow_scan_quote_only_opens_value_position():
 
 
 def test_eof_inside_tag_is_total_and_tokenizer_identical():
-    """Truncation mid-tag (crawl cut): deliberately NOT the spec's
-    eof-in-tag drop — the stdlib fallback tokenizer flushes the tail
-    as character data, and the dual-tokenizer parity invariant (both
-    build identical trees) outweighs a few junk chars on a truncated
-    tail. Pinned: total, kept content intact, tokenizers agree."""
+    """Truncation mid-tag (crawl cut): the trailing unterminated tag
+    fragment is dropped spec-identically (eof-in-tag emits nothing —
+    html5lib/html5ever parity) by a shared pre-pass, so BOTH
+    tokenizers see the same truncated input and the dual-tokenizer
+    parity invariant holds for free. Pinned: total, kept content
+    intact, no flushed markup tail, tokenizers agree."""
     from dce_spark.core.htmlparse import parse_html
 
     raw = '<body><p>kept</p><div class="x'
@@ -184,4 +185,5 @@ def test_eof_inside_tag_is_total_and_tokenizer_identical():
     d2 = parse_html(raw, tokenizer="stdlib")
     joined = " ".join(t for t in d1.text if t)
     assert "kept" in joined
+    assert "class" not in joined  # fragment dropped, not flushed
     assert (list(d1.tag), list(d1.text)) == (list(d2.tag), list(d2.text))

@@ -128,7 +128,7 @@ def build_eval_gold() -> pa.Table:
     # dce_spark/spark/evalcorpus.py)
     from dce_spark.spark.evalcorpus import eval_rows
 
-    for row in eval_rows(110):
+    for row in eval_rows(144):
         gold_rows.append({"stem": row["url"], "gold_text": row["gold_text"]})
     return pa.Table.from_pylist(gold_rows)
 
