@@ -2217,3 +2217,73 @@ def merge_bloom_filters(*filters: DataFrame) -> DataFrame:
     for f in filters[1:]:
         out = out.unionByName(f)
     return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def boilerplate_lines(
+    documents: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    host_col: str = "source",
+) -> DataFrame:
+    """Per-SITE template-line removal — the CCNet-style boilerplate
+    strip that complements ``line_dedup``: a line occurring on
+    >= ``min_docs`` DISTINCT documents of the same host is template
+    chrome (navigation rows, cookie banners, footers) and is removed
+    from EVERY page of that host — unlike line_dedup's first-owner
+    rule, because a nav row is not content on the first page that
+    shipped it either. Lines below the threshold survive everywhere,
+    so page-specific text is never touched. Blank (whitespace-only)
+    lines are paragraph STRUCTURE and always survive in place.
+
+    Plan shape: posexplode -> distinct(host, line, doc) with map-side
+    partials (per-page repetition of a line collapses before the
+    shuffle) -> groupBy(host, line) count -> the boiler set joins back
+    MANY-TO-ONE on (host, line) (the build side is duplicate-free, so
+    a Zipf-head banner fans out without blowup and the key carries the
+    host, so a global banner spreads across host keys; AQE skew-join
+    covers a mega-host) -> one groupBy(doc_id) reassembly with
+    sort_array, no window anywhere. Total over the input: a page that
+    is 100% template comes back with text_clean = ''.
+
+    Returns (doc_id, text_clean, n_lines, n_boiler).
+    """
+    lines = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(host_col).alias("_host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    blank = F.trim(F.col("line")) == ""
+    boiler = (
+        lines.filter(~blank)
+        .select("_host", "line", "doc_id")
+        .distinct()
+        .groupBy("_host", "line")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_host", "line", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(boiler, ["_host", "line"], "left")
+    keep = blank | F.col("_boiler").isNull()
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep,
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x.line,
+                ),
+            ).alias("text_clean"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias(
+                "n_boiler"
+            ),
+        )
+    )

@@ -417,3 +417,16 @@ def test_ivf_topk_plan_bucketed_no_cartesian(spark):
     plan = _plan(e.queries()["emb_ivf_topk"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_boilerplate_strip_plan_no_window(spark):
+    """Template-line removal is aggregates + ONE many-to-one join on
+    (host, line): no window anywhere (reassembly is collect_list +
+    array_sort inside the agg), no cartesian, line frequency counted
+    via distinct + count with map-side partials."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_boilerplate_strip"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan

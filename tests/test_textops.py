@@ -1726,3 +1726,35 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     }
     assert len(bf) == 50
     assert len(ivf & bf) / len(bf) >= 0.9
+
+
+def test_boilerplate_lines_strips_template_keeps_content(spark):
+    """Per-site template lines (>= min_docs distinct docs of one host)
+    vanish from EVERY page of that host; sub-threshold repeats and
+    unique body lines survive; blank lines are structure and always
+    survive; the same line on another host is NOT boilerplate there
+    (host-scoped); a 100% template page comes back empty."""
+    rows = [
+        (1, "a", "MENU\nbody one\n\nfooter co"),
+        (2, "a", "MENU\nbody two\nfooter co"),
+        (3, "a", "MENU\nbody three\nrare line\nfooter co"),
+        (4, "a", "MENU\nfooter co"),            # pure template page
+        (5, "a", "rare line\nbody five"),        # rare = 2 docs < 3
+        (6, "b", "MENU\nother host body"),       # MENU fine on host b
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in textops.boilerplate_lines(
+        docs, min_docs=3).collect()}
+    assert len(out) == 6
+    assert out[1].text_clean == "body one\n"          # blank survives
+    assert out[2].text_clean == "body two"
+    assert out[3].text_clean == "body three\nrare line"
+    assert out[4].text_clean == "" and out[4].n_boiler == 2
+    assert out[5].text_clean == "rare line\nbody five"
+    assert out[6].text_clean == "MENU\nother host body"
+    assert (out[1].n_lines, out[1].n_boiler) == (4, 2)
+    # deterministic under repartition
+    again = {r.doc_id: r for r in textops.boilerplate_lines(
+        docs.repartition(5), min_docs=3).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()}
