@@ -505,6 +505,7 @@ def kmeans_fit(
     n_iters: int = 2,
     dim: int = 64,
     assign_via: str = "join",
+    sample_mod: int | None = None,
 ) -> list[list[int]]:
     """Fit Lloyd's k-means and return the FINAL centroids as k lists
     of dim fixed-point (1e-6) integers — the reusable model behind
@@ -526,9 +527,13 @@ def kmeans_fit(
     k*dim-row collect — the standard k-means control-plane scalar
     (MLlib's runs the same loop). ``assign_via="arrow"`` swaps the
     broadcast-join argmin for a NumPy matmul per Arrow batch (the
-    tens-of-thousands-of-clusters regime; identical output). At
-    10^12 rows run the update phase over a deterministic_sample
-    (same shape).
+    tens-of-thousands-of-clusters regime; identical output).
+    ``sample_mod=m`` fits the update phase on the deterministic
+    1/m id-slice (``vec_id % m == 0``) — the 10^12-row path, where
+    scanning the full corpus ``n_iters`` times to place centroids is
+    waste; the final full-corpus assignment is unaffected by HOW the
+    centroids were fit, and the slice is reproducible (no RNG).
+    ``sample_mod=1`` (or None) is the exact full fit.
     """
     import math
 
@@ -540,11 +545,16 @@ def kmeans_fit(
         raise ValueError(
             f"k={k} exceeds the number of vectors ({len(init)})"
         )
+    em_fit = em
+    if sample_mod is not None and int(sample_mod) > 1:
+        em_fit = em.filter(
+            F.pmod(F.col("vec_id"), F.lit(int(sample_mod))) == 0
+        )
     assign = _assign_arrow if assign_via == "arrow" else _assign_join
     centroids = [list(r.em) for r in init]
     for _ in range(n_iters):
         sums = (
-            assign(em, centroids)
+            assign(em_fit, centroids)
             .select("cluster", F.posexplode("em").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
@@ -567,6 +577,7 @@ def kmeans_embeddings(
     n_iters: int = 2,
     dim: int = 64,
     assign_via: str = "join",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column — the clustering pass
     behind SemDeDup-style semantic dedup sharding and corpus domain
@@ -574,7 +585,9 @@ def kmeans_embeddings(
     pruning where the candidates actually live). Returns
     (vec_id, cluster); see ``kmeans_fit`` for the model semantics and
     the scale shape."""
-    centroids = kmeans_fit(embeddings, k, n_iters, dim, assign_via)
+    centroids = kmeans_fit(
+        embeddings, k, n_iters, dim, assign_via, sample_mod
+    )
     assign = _assign_arrow if assign_via == "arrow" else _assign_join
     return assign(_quantize_embeddings(embeddings), centroids).select(
         "vec_id", F.col("cluster").cast("long")
@@ -598,7 +611,7 @@ def split_bits(cnt: int, cap: int, max_bits: int = 16) -> int:
 def semdedup(
     embeddings: DataFrame, k: int = 4, n_iters: int = 1, dim: int = 64,
     threshold: float = 0.95, max_cluster_size: int | None = None,
-    sub_planes: int = 16,
+    sub_planes: int = 16, keep_policy: str = "min_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means shards the
@@ -637,6 +650,20 @@ def semdedup(
     keeps the paper's plain within-cluster semantics (and the
     round-5 plan/oracle byte-identically).
 
+    ``keep_policy`` picks the SURVIVOR of each near-dup family:
+
+    * ``"min_id"`` (default) — lowest vec_id among self + neighbors,
+      the streaming-friendly first-seen rule shared with minhash/
+      embedding dedup;
+    * ``"centroid_far"`` — the paper's actual rule (Abbas et al. §3:
+      "keep the examples with the lowest cosine similarity to cluster
+      centroids"): among self + neighbors, survive the vector LEAST
+      similar to its cluster centroid (ties to the lower vec_id) —
+      keeping the atypical exemplar preserves diversity where min_id
+      keeps whatever crawled first. Similarities are the rounded-f64
+      cosine against the integer fixed-point centroid, so the
+      decision is engine-exact.
+
     Deterministic end to end: kmeans_embeddings is integer-exact, the
     sub-shard is integer-sign LSH, the chunk order is vec_id, and the
     cosine is the sequential f64 fold. Returns
@@ -644,13 +671,30 @@ def semdedup(
     """
     from pyspark.sql.window import Window
 
-    assigned = kmeans_embeddings(embeddings, k, n_iters, dim)
+    if keep_policy not in ("min_id", "centroid_far"):
+        raise ValueError(f"unknown keep_policy {keep_policy!r}")
+    centroids = kmeans_fit(embeddings, k, n_iters, dim)
+    assigned = _assign_join(
+        _quantize_embeddings(embeddings), centroids
+    ).select("vec_id", F.col("cluster").cast("long"))
     withv = assigned.join(
         embeddings.select(
             F.col("vec_id").cast("long").alias("vec_id"), "embedding"
         ),
         "vec_id",
     )
+    if keep_policy == "centroid_far":
+        cent = F.broadcast(
+            _centroid_df(withv.sparkSession, centroids).select(
+                F.col("j").cast("long").alias("cluster"), "c"
+            )
+        )
+        withv = withv.join(cent, "cluster").withColumn(
+            "cs",
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("c")), 6
+            ),
+        ).drop("c")
     group_key = ["cluster"]
     if max_cluster_size is not None:
         cap = int(max_cluster_size)
@@ -684,13 +728,16 @@ def semdedup(
             F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(cap)),
         )
         group_key = ["cluster", "sub", "chunk"]
+    far = keep_policy == "centroid_far"
+    cs_a = [F.col("cs").alias("cs_a")] if far else []
+    cs_b = [F.col("cs").alias("cs_b")] if far else []
     a = withv.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
-        *group_key,
+        *cs_a, *group_key,
     )
     b = withv.select(
         F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
-        *group_key,
+        *cs_b, *group_key,
     )
     edges = (
         a.join(b, group_key)
@@ -699,8 +746,33 @@ def semdedup(
             cosine_similarity_col(F.col("ea"), F.col("eb"))
             >= threshold
         )
-        .select("a", "b")
+        .select("a", "b", *(["cs_a", "cs_b"] if far else []))
     )
+    if far:
+        # each side learns the OTHER side's centroid similarity; the
+        # survivor of a family is its (cs, id)-minimal member
+        sym = edges.select("a", "b", "cs_b").unionByName(
+            edges.select(
+                F.col("b").alias("a"), F.col("a").alias("b"),
+                F.col("cs_a").alias("cs_b"),
+            )
+        )
+        nbr_best = sym.groupBy("a").agg(
+            F.min(
+                F.struct(F.col("cs_b").alias("s"), F.col("b").alias("i"))
+            ).alias("m")
+        )
+        own = F.struct(F.col("cs").alias("s"), F.col("vec_id").alias("i"))
+        best = F.least(own, F.coalesce(F.col("m"), own))
+        return (
+            withv.join(nbr_best, withv.vec_id == nbr_best.a, "left")
+            .select(
+                "vec_id",
+                F.col("cluster").cast("long").alias("cluster"),
+                best.getField("i").cast("long").alias("keep_id"),
+                (best.getField("i") == F.col("vec_id")).alias("is_kept"),
+            )
+        )
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

@@ -1758,3 +1758,52 @@ def test_boilerplate_lines_strips_template_keeps_content(spark):
         docs.repartition(5), min_docs=3).collect()}
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in again.items()}
+
+
+def test_semdedup_centroid_far_keeps_atypical(embeddings):
+    """The paper's keeper rule: within each near-dup family the
+    survivor is the member LEAST similar to its cluster centroid (ties
+    to lower id) — so keepers differ from min_id's first-seen rule,
+    while the family PARTITION (who is grouped with whom) and totality
+    are unchanged."""
+    from dce_spark.functions.simsearch import semdedup
+
+    s_min = {r.vec_id: r for r in semdedup(
+        embeddings, k=3, n_iters=3, dim=8, threshold=0.999).collect()}
+    s_far = {r.vec_id: r for r in semdedup(
+        embeddings, k=3, n_iters=3, dim=8, threshold=0.999,
+        keep_policy="centroid_far").collect()}
+    assert len(s_far) == 30
+    assert {r.vec_id: r.cluster for r in s_far.values()} == {
+        r.vec_id: r.cluster for r in s_min.values()}
+    # every vector points at a same-cluster keeper; keepers keep
+    # themselves; the two policies pick DIFFERENT survivors here
+    # (the lowest-id member is not the centroid-farthest one)
+    for r in s_far.values():
+        assert s_far[r.keep_id].is_kept
+        assert s_far[r.keep_id].cluster == r.cluster
+        assert r.is_kept == (r.keep_id == r.vec_id)
+    assert {r.keep_id for r in s_far.values()} != {
+        r.keep_id for r in s_min.values()}
+    with pytest.raises(ValueError):
+        semdedup(embeddings, k=3, dim=8, keep_policy="bogus")
+
+
+def test_kmeans_sample_mod_fit(embeddings):
+    """sample_mod=1 is the exact full fit; a real slice still returns
+    k valid centroids and a total assignment, deterministically."""
+    from dce_spark.functions.simsearch import (
+        kmeans_embeddings, kmeans_fit,
+    )
+
+    full = kmeans_fit(embeddings, k=3, n_iters=3, dim=8)
+    assert kmeans_fit(embeddings, k=3, n_iters=3, dim=8,
+                      sample_mod=1) == full
+    sampled = kmeans_fit(embeddings, k=3, n_iters=3, dim=8,
+                         sample_mod=2)
+    assert len(sampled) == 3 and all(len(c) == 8 for c in sampled)
+    assert kmeans_fit(embeddings.repartition(5), k=3, n_iters=3,
+                      dim=8, sample_mod=2) == sampled
+    out = kmeans_embeddings(
+        embeddings, k=3, n_iters=3, dim=8, sample_mod=2).collect()
+    assert len(out) == 30
