@@ -490,8 +490,17 @@ class _TreeBuilder(HTMLParser):
 
     def _in_select(self) -> bool:
         """select-scope membership: every element except optgroup and
-        option is a barrier (the spec's 'in select scope' variant)."""
-        for _idx, t, _f, _i in reversed(self.stack):
+        option is a barrier (the spec's 'in select scope' variant).
+        Cheap top-of-stack gate first: the walk can only return True
+        when the current node is select/option/optgroup (its first
+        iteration bails otherwise), and this runs per start AND end
+        tag."""
+        stack = self.stack
+        if not stack or stack[-1][1] not in (
+            "select", "option", "optgroup"
+        ):
+            return False
+        for _idx, t, _f, _i in reversed(stack):
             if t == "select":
                 return True
             if t not in ("option", "optgroup"):

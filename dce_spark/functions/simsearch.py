@@ -612,6 +612,7 @@ def semdedup(
     embeddings: DataFrame, k: int = 4, n_iters: int = 1, dim: int = 64,
     threshold: float = 0.95, max_cluster_size: int | None = None,
     sub_planes: int = 16, keep_policy: str = "min_id",
+    assign_via: str = "join", sample_mod: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means shards the
@@ -673,8 +674,11 @@ def semdedup(
 
     if keep_policy not in ("min_id", "centroid_far"):
         raise ValueError(f"unknown keep_policy {keep_policy!r}")
-    centroids = kmeans_fit(embeddings, k, n_iters, dim)
-    assigned = _assign_join(
+    centroids = kmeans_fit(
+        embeddings, k, n_iters, dim, assign_via, sample_mod
+    )
+    assign = _assign_arrow if assign_via == "arrow" else _assign_join
+    assigned = assign(
         _quantize_embeddings(embeddings), centroids
     ).select("vec_id", F.col("cluster").cast("long"))
     withv = assigned.join(
