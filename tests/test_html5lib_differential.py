@@ -126,7 +126,14 @@ def ours_canon(html):
 
 
 def h5_canon(html):
-    tree = html5lib.parse(html, namespaceHTMLElements=False)
+    # scripting=True: noscript parses as RAWTEXT, the scripting-enabled
+    # behavior of browsers and html5ever (scraper's default — i.e. the
+    # reference's semantics). html5lib's default scripting=False parses
+    # noscript content as elements, a divergence class that is not a
+    # bug on either side but is NOISE for reference-parity testing.
+    tree = html5lib.parse(
+        html, namespaceHTMLElements=False, scripting=True
+    )
     body = tree.find(".//body")
     if body is None:  # pragma: no cover
         body = tree
@@ -407,6 +414,8 @@ def test_mutated_real_pages_never_lose_text():
     sys.path.insert(0, str(_P(__file__).resolve().parent))
     from test_mutation_fuzz import _mutations
 
+    import re as _re
+
     rng = random.Random(20260842)
     zf = zipfile.ZipFile(PAGES_ZIP)
     names = [n for n in zf.namelist()
@@ -416,6 +425,16 @@ def test_mutated_real_pages_never_lose_text():
         raw = zf.read(name)
         for mutant in _mutations(raw, rng, 6):
             html = mutant.decode("utf-8", errors="replace")
+            # unbalanced <template>: the spec routes everything after
+            # it into the template CONTENTS fragment (outside the body
+            # tree — html5ever drops it, we drop it); html5lib leaks
+            # the tail back into the body, so the comparison is not
+            # meaningful there (pinned ours-correct in
+            # test_unterminated_template_tail_stays_out_of_body)
+            if len(_re.findall(r"<template[\s>]", html, _re.I)) > len(
+                _re.findall(r"</template", html, _re.I)
+            ):
+                continue
             try:
                 ta = text_seq(project(ours_canon(html)))
                 tb = text_seq(project(h5_canon(html)))
@@ -470,3 +489,23 @@ def test_quote_pairs_only_in_value_position():
     for html in cases:
         assert text_seq(project(ours_canon(html))) == \
             text_seq(project(h5_canon(html))), html
+
+
+def test_unterminated_template_tail_stays_out_of_body():
+    """A <template> with no end tag swallows the rest of the input
+    into its CONTENTS — which the spec keeps in a separate fragment
+    OUTSIDE the body tree (html5ever, the reference's parser, drops it
+    from the document; so do we via rawtext handling + canon template
+    drop). html5lib 1.1 leaks post-template elements back into the
+    body — adjudicated as its artifact, excluded from the retention
+    battery by construction."""
+    c = ours_canon(
+        '<body><div id="w"><div></div><template id="t">x</div>'
+        '<p>leak</p>'
+    )
+    assert text_seq(c) == []
+    # well-formed template: content dropped, following text kept, and
+    # the two parsers agree exactly
+    html = "<body>a<template><b>x</b></template>c"
+    assert ours_canon(html) == h5_canon(html)
+    assert text_seq(ours_canon(html)) == ["ac"]  # merged around the dropped template

@@ -30,16 +30,33 @@ from test_mutation_fuzz import _mutations  # noqa: E402
 PAGES_ZIP = Path("/root/reference/html/pages.zip")
 
 
+import re as _re
+
+_C0 = str.maketrans("", "", "".join(
+    chr(c) for c in range(1, 32) if chr(c) not in "\t\n\r"
+))
+
+
 def lost_by_us(html: str):
     """Content-projection text html5lib keeps and we drop (script/
     style/etc payloads excluded — extraction never reads them, and a
     mutated rawtext boundary makes the two tokenizers legitimately
-    disagree about where the payload ends)."""
+    disagree about where the payload ends). Two adjudicated classes
+    are normalized out, mirroring the pinned retention test:
+    unbalanced <template> (spec keeps the tail in the out-of-body
+    contents fragment; html5lib leaks it back) and C0-control
+    charrefs (sanitized by the shared stdlib unescape)."""
+    if len(_re.findall(r"<template[\s>]", html, _re.I)) > len(
+        _re.findall(r"</template", html, _re.I)
+    ):
+        return []
     try:
         ta = text_seq(project(ours_canon(html)))
         tb = text_seq(project(h5_canon(html)))
     except RecursionError:
         return []
+    ta = [t.translate(_C0) for t in ta]
+    tb = [t.translate(_C0) for t in tb]
     return [t for t in set(tb) if tb.count(t) > ta.count(t)]
 
 
