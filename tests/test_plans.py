@@ -396,16 +396,17 @@ def test_semdedup_bounded_pair_join_key(spark):
     CartesianProduct is banned.)"""
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()["emb_semdedup"](spark, SF))
-    assert "CartesianProduct" not in plan
-    join_lines = [
-        ln for ln in plan.splitlines()
-        if "Join" in ln and "cluster" in ln and "BroadcastNestedLoop"
-        not in ln
-    ]
-    assert any(
-        "sub" in ln and "chunk" in ln for ln in join_lines
-    ), join_lines
+    for q in ("emb_semdedup", "emb_semdedup_far"):
+        plan = _plan(e.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan
+        join_lines = [
+            ln for ln in plan.splitlines()
+            if "Join" in ln and "cluster" in ln
+            and "BroadcastNestedLoop" not in ln
+        ]
+        assert any(
+            "sub" in ln and "chunk" in ln for ln in join_lines
+        ), (q, join_lines)
 
 
 def test_ivf_topk_plan_bucketed_no_cartesian(spark):

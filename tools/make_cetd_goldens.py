@@ -104,6 +104,35 @@ def build_markdown() -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def build_links() -> pa.Table:
+    """get_node_links of the selected content node, per url — the
+    power-user link surface (reference src/lib.rs:49-65 +
+    utils.rs:407-421) exposed through the driver gate. links_md5 is an
+    ORDER-SENSITIVE hash of the doc-order hrefs (newline-joined), so
+    any change to link enumeration order trips the oracle."""
+    rows = []
+    for row in corpus(N_SYNTH_CONTENT):
+        rec = extract_page(row["html"], mode="content")
+        links = rec.get("content_links") or []
+        rows.append(
+            {
+                "url": row["url"],
+                "status": rec["status"],
+                "n_links": len(links),
+                "links_md5": _md5("\n".join(links)),
+            }
+        )
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("status", pa.string()),
+            ("n_links", pa.int64()),
+            ("links_md5", pa.string()),
+        ]
+    )
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def build_eval_gold() -> pa.Table:
     """Committed gold texts (CleanEval file format: URL line + content).
 
@@ -162,6 +191,7 @@ def main() -> None:
         ("golden_cetd_content", content),
         ("golden_cetd_article", article),
         ("golden_cetd_markdown", md),
+        ("golden_cetd_links", build_links()),
         ("eval_gold", gold),
     ):
         pq.write_table(table, OUT_DIR / f"{name}.parquet")
