@@ -43,7 +43,8 @@ import gzip
 import io
 from collections.abc import Iterator
 
-__all__ = ["iter_warc_records", "read_warc"]
+__all__ = ["iter_warc_records", "read_warc", "wet_record_bytes",
+           "write_wet_shards", "read_wet"]
 
 _CRLF = b"\r\n"
 
@@ -151,9 +152,12 @@ def _strip_http_headers(payload: bytes) -> bytes:
     return payload
 
 
-def iter_warc_records(raw) -> Iterator[dict]:
-    """Yield response records from WARC bytes or a binary stream
-    (gz or plain).
+def iter_warc_records(raw, record_types=(b"response",)) -> Iterator[dict]:
+    """Yield records of the requested WARC-Type(s) from WARC bytes or
+    a binary stream (gz or plain). ``response`` records (the default)
+    get their HTTP header block stripped; ``conversion`` records (WET
+    extracted-text archives) carry a bare payload and are passed
+    through as-is.
 
     Gz input is decompressed *incrementally* — records already parsed
     are yielded even when a later member is truncated or corrupt.
@@ -179,7 +183,8 @@ def iter_warc_records(raw) -> Iterator[dict]:
             payload = stream.read(length)
             if len(payload) < length:
                 return  # truncated archive: stop cleanly
-            if headers.get(b"warc-type") == b"response":
+            rtype = headers.get(b"warc-type")
+            if rtype in record_types:
                 url = headers.get(b"warc-target-uri", b"").decode(
                     "utf-8", errors="replace"
                 )
@@ -195,7 +200,10 @@ def iter_warc_records(raw) -> Iterator[dict]:
                 yield {
                     "url": url,
                     "warc_ts": ts,
-                    "html": _strip_http_headers(payload),
+                    "html": (
+                        _strip_http_headers(payload)
+                        if rtype == b"response" else payload
+                    ),
                 }
     except (OSError, EOFError):
         # BadGzipFile (a corrupt/garbage member) or a member cut mid-
@@ -252,3 +260,125 @@ def read_warc(spark, path: str, flush_bytes: int = DEFAULT_FLUSH_BYTES):
                     yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(kernel, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# WET sink: extracted text back OUT as Common-Crawl-style archives
+# ---------------------------------------------------------------------
+
+
+def wet_record_bytes(url: str, ts, text: str) -> bytes:
+    """One WET ``conversion`` record (WARC/1.0 framing): the standard
+    interchange form for extracted text — what Common Crawl publishes
+    as ``.warc.wet.gz`` alongside the raw crawl. Deterministic: the
+    record id is a UUID-shaped md5 of (url, ts) — no RNG, no clock —
+    so re-running a shard writes byte-identical archives (idempotent
+    re-commit, and the resume story stays content-addressed)."""
+    import hashlib
+
+    payload = text.encode("utf-8")
+    when = (ts or _dt.datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    digest = hashlib.md5(
+        f"{url}\x00{when}".encode("utf-8")
+    ).hexdigest()
+    rid = (
+        f"<urn:uuid:{digest[:8]}-{digest[8:12]}-{digest[12:16]}-"
+        f"{digest[16:20]}-{digest[20:32]}>"
+    )
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {when}\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+def write_wet_shards(
+    df, out_dir: str, compress: bool = True
+) -> list[dict]:
+    """Extraction output -> per-partition ``.warc.wet[.gz]`` shards.
+
+    ``df`` needs (url, warc_ts, extracted_text). One archive per
+    partition, written RECORD-BY-RECORD through a streaming (gz)
+    writer — peak executor memory is one record, independent of
+    partition size; parallelism is the input partitioning (repartition
+    upstream to size shards, exactly the many-files layout read_warc
+    wants back). Returns the small per-shard lineage manifest
+    [{path, records, text_bytes}] — the driver-side collect is one row
+    per shard, the same control-plane grain as the pipeline's commit
+    manifests. At 10^12 rows this is the WET-publishing job: shard
+    count = partition count, each task owns one archive, no shuffle
+    beyond the caller's partitioning.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+
+    def write_partition(idx, rows):
+        path = os.path.join(out_dir, f"part-{idx:05d}{ext}")
+        n = 0
+        nbytes = 0
+        opener = gzip.open if compress else open
+        with opener(path, "wb") as fh:
+            for r in rows:
+                text = r["extracted_text"]
+                if text is None:
+                    continue
+                rec = wet_record_bytes(r["url"], r["warc_ts"], text)
+                fh.write(rec)
+                n += 1
+                nbytes += len(text.encode("utf-8"))
+        if n == 0:
+            os.remove(path)  # no empty shards in the output listing
+            return []
+        return [{"path": path, "records": n, "text_bytes": nbytes}]
+
+    return (
+        df.select("url", "warc_ts", "extracted_text")
+        .rdd.mapPartitionsWithIndex(
+            lambda idx, it: write_partition(idx, it)
+        )
+        .collect()
+    )
+
+
+def read_wet(spark, path: str, flush_bytes: int = DEFAULT_FLUSH_BYTES):
+    """WET archive(s) -> (url, warc_ts, text) DataFrame — the reader
+    side of ``write_wet_shards`` and of Common Crawl's published
+    ``.warc.wet.gz``. Same binaryFile + bounded-batch shape as
+    read_warc; ``conversion`` payloads are bare text (no HTTP header
+    strip)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    cols = ["url", "warc_ts", "text"]
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for rec in pdf.itertuples(index=False):
+                rows: list[tuple] = []
+                pending = 0
+                for r in iter_warc_records(
+                    io.BytesIO(bytes(rec.content)),
+                    record_types=(b"conversion",),
+                ):
+                    text = r["html"].decode("utf-8", errors="replace")
+                    rows.append((r["url"], r["warc_ts"], text))
+                    pending += len(r["html"])
+                    if pending >= flush_bytes:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, pending = [], 0
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        kernel, "url string, warc_ts timestamp, text string"
+    )

@@ -118,6 +118,25 @@ def main() -> int:
     if out_dir:
         chunks.write.mode("overwrite").parquet(out_dir)
         print(f"chunks written:  {out_dir}")
+        # publish the curated extracted text back OUT as WET shards —
+        # the Common-Crawl interchange form (closing the crawl loop:
+        # WARC in, curated WET out)
+        from dce_spark.spark.warc import write_wet_shards
+
+        kept_urls = survivors.select("url")
+        wet_df = (
+            extracted.filter(F.col("status") == "ok")
+            .dropDuplicates(["url"])
+            .join(kept_urls, "url", "semi")
+            .join(pages.groupBy("url").agg(
+                F.max("warc_ts").alias("warc_ts")), "url")
+            .select("url", "warc_ts", "extracted_text")
+        )
+        manifest = write_wet_shards(
+            wet_df.repartition(2), f"{out_dir}_wet"
+        )
+        print(f"wet shards:      {sum(m['records'] for m in manifest)}"
+              f" records in {len(manifest)} archives")
     spark.stop()
     return 0 if n_chunks > 0 else 1
 
