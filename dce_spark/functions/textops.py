@@ -2287,3 +2287,47 @@ def boilerplate_lines(
             ),
         )
     )
+
+
+def split_assign(
+    documents: DataFrame,
+    val_permille: int = 10,
+    test_permille: int = 10,
+    salt: str = "split1",
+    by: str = "content",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment — the step every
+    training-data pipeline runs last, with the leakage hygiene most
+    get wrong: ``by="content"`` (default) keys the hash on the md5 of
+    the TEXT, so byte-identical duplicates land in the SAME split by
+    construction (an exact dup straddling train and test silently
+    inflates eval; run near-dup dedup upstream for the fuzzy version
+    of the same guarantee). ``by="doc_id"`` keys on the id (pure
+    random-but-reproducible assignment). ``salt`` re-draws the whole
+    assignment without touching data — bump it to rotate holdouts.
+
+    Map-only projection (no shuffle, no state): bucket = the first 8
+    md5 hex digits of (salt + key) as an integer mod 1000, compared to
+    the permille thresholds — engine-exact in any SQL dialect, stable
+    across runs, partitionings and cluster sizes. Returns
+    (doc_id, split) with split in {'train', 'validation', 'test'}.
+    """
+    if val_permille + test_permille >= 1000:
+        raise ValueError("holdout permilles must sum below 1000")
+    if by not in ("content", "doc_id"):
+        raise ValueError(f"unknown split key {by!r}")
+    key = (
+        F.md5(F.col("text")) if by == "content"
+        else F.col("doc_id").cast("string")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), key)), 1, 8),
+        16, 10,
+    ).cast("long") % 1000
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(bucket < test_permille, F.lit("test"))
+        .when(bucket < test_permille + val_permille, F.lit("validation"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -431,3 +431,13 @@ def test_boilerplate_strip_plan_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_split_assign_map_only(spark):
+    """Split assignment is a pure projection: no shuffle, no window —
+    the plan must be scan -> project, nothing else."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["doc_split_assign"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Window" not in plan and "Sort" not in plan

@@ -1807,3 +1807,34 @@ def test_kmeans_sample_mod_fit(embeddings):
     out = kmeans_embeddings(
         embeddings, k=3, n_iters=3, dim=8, sample_mod=2).collect()
     assert len(out) == 30
+
+
+def test_split_assign_content_keyed_and_deterministic(spark):
+    """Exact duplicate texts land in the SAME split (content keying =
+    holdout leakage hygiene); assignment is reproducible under any
+    partitioning; salt rotates the draw; id keying can separate dups;
+    thresholds validate."""
+    rows = [(i, f"text {i % 40}") for i in range(200)]  # 5x dup groups
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.split for r in textops.split_assign(
+        docs, val_permille=200, test_permille=200).collect()}
+    assert len(out) == 200
+    for i in range(200):  # every dup family agrees
+        assert out[i] == out[i % 40]
+    assert {"train", "validation", "test"} == set(out.values())
+    again = {r.doc_id: r.split for r in textops.split_assign(
+        docs.repartition(7), val_permille=200, test_permille=200
+    ).collect()}
+    assert out == again
+    other = {r.doc_id: r.split for r in textops.split_assign(
+        docs, val_permille=200, test_permille=200, salt="rotated"
+    ).collect()}
+    assert other != out
+    by_id = {r.doc_id: r.split for r in textops.split_assign(
+        docs, val_permille=300, test_permille=300, by="doc_id"
+    ).collect()}
+    assert any(by_id[i] != by_id[i % 40] for i in range(40, 200))
+    with pytest.raises(ValueError):
+        textops.split_assign(docs, val_permille=600, test_permille=500)
+    with pytest.raises(ValueError):
+        textops.split_assign(docs, by="bogus")
