@@ -1838,3 +1838,46 @@ def test_split_assign_content_keyed_and_deterministic(spark):
         textops.split_assign(docs, val_permille=600, test_permille=500)
     with pytest.raises(ValueError):
         textops.split_assign(docs, by="bogus")
+
+
+def test_boilerplate_lines_random_property(spark):
+    """Random corpora property: output is total over input, kept+
+    removed == line count, a removed line really does occur on
+    >= min_docs distinct docs of its host, and a kept non-blank line
+    occurs on fewer."""
+    import random as _random
+
+    rng = _random.Random(20260817)
+    vocab = [f"w{k}" for k in range(12)]
+    rows = []
+    did = 0
+    for host in ("h1", "h2", "h3"):
+        for _ in range(rng.randrange(4, 9)):
+            lines = [
+                " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(1, 4)))
+                for _ in range(rng.randrange(1, 6))
+            ]
+            if rng.random() < 0.3:
+                lines.insert(rng.randrange(len(lines) + 1), "  ")
+            rows.append((did, host, "\n".join(lines)))
+            did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in textops.boilerplate_lines(
+        docs, min_docs=2).collect()}
+    assert len(out) == len(rows)
+    # recompute ground truth in plain Python
+    freq: dict = {}
+    for d, h, t in rows:
+        for ln in set(x for x in t.split("\n") if x.strip()):
+            freq[(h, ln)] = freq.get((h, ln), 0) + 1
+    for d, h, t in rows:
+        lines = t.split("\n")
+        kept = [
+            ln for ln in lines
+            if ln.strip() == "" or freq[(h, ln)] < 2
+        ]
+        r = out[d]
+        assert r.n_lines == len(lines), d
+        assert r.n_boiler == len(lines) - len(kept), d
+        assert r.text_clean == "\n".join(kept), d
