@@ -105,50 +105,67 @@ class DensityTree:
         frag_dom: list[int] = []
         frag_text: list[str] = []
 
+        # hot loop: every name it touches per node is a local (method
+        # and global lookups cost ~20% of the build on real pages), and
+        # the parent tag is read once through par_dom instead of
+        # re-indexing parents[i] — all semantically identical
         append_idx = dom_index.append
         append_par = d_parent.append
         append_dep = d_depth.append
+        append_char = own_char.append
+        append_tag = own_tag.append
+        append_link = own_link_tag.append
+        append_pa = parent_is_a.append
+        append_fd = frag_dom.append
+        append_ft = frag_text.append
+        _trim = rust_trim
+        _nct = is_non_content_text
+        _cg = count_graphemes
+        _skip = should_skip_element
+        _KT = KIND_TEXT
+        link_tags = LINK_TAGS
 
         for i in range(n):
             if i == 0:
                 par_d = -1
                 depth = 0
+                pa = False
             else:
                 par_dom = parents[i]
                 par_d = dom_to_density[par_dom]
                 if par_d < 0:
                     continue  # inside a pruned subtree
                 depth = d_depth[par_d] + 1
+                pa = tags[par_dom] == "a"
 
-            if kind[i] == KIND_TEXT:
-                raw = texts[i]
-                clean = rust_trim(raw)
-                if is_non_content_text(clean):
+            if kind[i] == _KT:
+                clean = _trim(texts[i])
+                if _nct(clean):
                     cc = 0
                 else:
-                    cc = count_graphemes(clean)
-                    frag_dom.append(i)
-                    frag_text.append(clean)
+                    cc = _cg(clean)
+                    append_fd(i)
+                    append_ft(clean)
                 dom_to_density[i] = len(dom_index)
                 append_idx(i)
                 append_par(par_d)
                 append_dep(depth)
-                own_char.append(cc)
-                own_tag.append(0)
-                own_link_tag.append(0)
-                parent_is_a.append(i != 0 and tags[parents[i]] == "a")
+                append_char(cc)
+                append_tag(0)
+                append_link(0)
+                append_pa(pa)
             else:
                 t = tags[i]
-                if i != 0 and should_skip_element(t, attrs[i]):
+                if i != 0 and _skip(t, attrs[i]):
                     continue
                 dom_to_density[i] = len(dom_index)
                 append_idx(i)
                 append_par(par_d)
                 append_dep(depth)
-                own_char.append(0)
-                own_tag.append(1)
-                own_link_tag.append(1 if t in LINK_TAGS else 0)
-                parent_is_a.append(i != 0 and tags[parents[i]] == "a")
+                append_char(0)
+                append_tag(1)
+                append_link(1 if t in link_tags else 0)
+                append_pa(pa)
 
         m = len(dom_index)
         self.dom_index = np.asarray(dom_index, dtype=np.int64)

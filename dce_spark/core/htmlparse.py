@@ -562,11 +562,11 @@ class _TreeBuilder(HTMLParser):
     def _insert_text(self, data: str) -> None:
         if not data:
             return
-        cur_tag = self._cur_tag()
+        top = self.stack[-1]
         if (
             self.table_depth > 0
-            and cur_tag in _TABLE_CONTEXT
-            and not self._cur_foreign()
+            and top[1] in _TABLE_CONTEXT
+            and not top[2]
         ):
             if data.strip("\t\n\x0c\r ") == "":
                 parent = self._cur()
@@ -587,19 +587,29 @@ class _TreeBuilder(HTMLParser):
             kids.insert(pos, child)
             self.n_parent[child] = parent
             return
-        parent = self._cur()
+        # hot path inlined (one text node per call on real pages):
+        # top-of-stack read + node-table appends without the
+        # _cur/_new_node/_append_child call overhead
+        parent = top[0]
+        n_tag = self.n_tag
         kids = self.n_children[parent]
-        if kids and self.n_tag[kids[-1]] is None:
+        if kids and n_tag[kids[-1]] is None:
             self.n_text[kids[-1]] += data
         else:
-            self._append_child(parent, self._new_node(None, None, data))
+            idx = len(n_tag)
+            n_tag.append(None)
+            self.n_attrs.append(None)
+            self.n_text.append(data)
+            self.n_children.append([])
+            self.n_parent.append(parent)
+            kids.append(idx)
 
     def _insert_element(self, tag, attrs, push, foreign=False) -> int:
-        cur_tag = self._cur_tag()
+        top = self.stack[-1]
         if (
             self.table_depth > 0
-            and cur_tag in _TABLE_CONTEXT
-            and not self._cur_foreign()
+            and top[1] in _TABLE_CONTEXT
+            and not top[2]
             and tag not in _TABLE_PART_START
             and tag not in ("table", "style", "script", "template", "form")
             and not (tag == "input" and _attr_hidden(attrs))
@@ -610,8 +620,16 @@ class _TreeBuilder(HTMLParser):
             self.n_children[parent].insert(pos, idx)
             self.n_parent[idx] = parent
         else:
-            idx = self._new_node(tag, attrs, None)
-            self._append_child(self._cur(), idx)
+            # hot path inlined, same as _insert_text
+            parent = top[0]
+            n_tag = self.n_tag
+            idx = len(n_tag)
+            n_tag.append(tag)
+            self.n_attrs.append(attrs)
+            self.n_text.append(None)
+            self.n_children.append([])
+            self.n_parent.append(parent)
+            self.n_children[parent].append(idx)
         if push and (
             len(self.stack) < _MAX_DEPTH
             or (tag in _CAP_EXEMPT and len(self.stack) < _MAX_DEPTH + 32)
