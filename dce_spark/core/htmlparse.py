@@ -1260,6 +1260,10 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
     pos = 0
     n = len(html)
     emit_text = builder.handle_data
+    h_start = builder.handle_starttag
+    h_end = builder.handle_endtag
+    h_se = builder.handle_startendtag
+    h_raw = builder.handle_rawtext
     find = html.find
     while pos < n:
         lt = find("<", pos)
@@ -1306,18 +1310,18 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
                 continue
             tag = raw_name if raw_name.islower() else raw_name.lower()
             if is_end:
-                builder.handle_endtag(tag)
+                h_end(tag)
                 continue
             self_closing = attrs_s.endswith("/")
             attrs = _parse_attrs(
                 attrs_s[:-1] if self_closing else attrs_s
             )
             if self_closing:
-                builder.handle_startendtag(tag, attrs)
+                h_se(tag, attrs)
             else:
-                builder.handle_starttag(tag, attrs)
+                h_start(tag, attrs)
             if tag == "plaintext" and builder.in_body:
-                builder.handle_rawtext("plaintext", html[pos:])
+                h_raw("plaintext", html[pos:])
                 return
             if (
                 not self_closing
@@ -1326,11 +1330,11 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
             ):
                 endm = _RAWTEXT_END[tag].search(html, pos)
                 if endm is None:
-                    builder.handle_rawtext(tag, html[pos:])
-                    builder.handle_endtag(tag)
+                    h_raw(tag, html[pos:])
+                    h_end(tag)
                     return
-                builder.handle_rawtext(tag, html[pos:endm.start()])
-                builder.handle_endtag(tag)
+                h_raw(tag, html[pos:endm.start()])
+                h_end(tag)
                 gt = find(">", endm.end())
                 pos = n if gt < 0 else gt + 1
             continue
@@ -1339,17 +1343,17 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
         if name is not None:
             tag = name if name.islower() else name.lower()
             if m.group("end"):
-                builder.handle_endtag(tag)
+                h_end(tag)
                 continue
             attrs_s = m.group("attrs")
             self_closing = attrs_s.endswith("/")
             attrs = _parse_attrs(attrs_s[:-1] if self_closing else attrs_s)
             if self_closing:
-                builder.handle_startendtag(tag, attrs)
+                h_se(tag, attrs)
             else:
-                builder.handle_starttag(tag, attrs)
+                h_start(tag, attrs)
             if tag == "plaintext" and builder.in_body:
-                builder.handle_rawtext("plaintext", html[pos:])
+                h_raw("plaintext", html[pos:])
                 return
             if (
                 not self_closing
@@ -1358,11 +1362,11 @@ def _feed_fast(builder: _TreeBuilder, html: str) -> None:
             ):
                 endm = _RAWTEXT_END[tag].search(html, pos)
                 if endm is None:
-                    builder.handle_rawtext(tag, html[pos:])
-                    builder.handle_endtag(tag)
+                    h_raw(tag, html[pos:])
+                    h_end(tag)
                     return
-                builder.handle_rawtext(tag, html[pos : endm.start()])
-                builder.handle_endtag(tag)
+                h_raw(tag, html[pos : endm.start()])
+                h_end(tag)
                 gt = find(">", endm.end())
                 pos = n if gt < 0 else gt + 1
             continue
