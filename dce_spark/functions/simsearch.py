@@ -22,6 +22,158 @@ def _f64(a):
     return a.cast("array<double>")
 
 
+def _emb_matrix(tbl, dim: int):
+    """(ids int64, X float64) from an Arrow group table with vec_id +
+    embedding (list<float>) columns. float32 -> float64 is exact."""
+    import numpy as np
+
+    ids = (
+        tbl.column("vec_id").combine_chunks()
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    emb = tbl.column("embedding").combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    X = np.asarray(flat, dtype=np.float64).reshape(len(ids), dim)
+    return ids, X
+
+
+def _seq_gram_block(X, s, e):
+    """Gram block G[s:e, :] and squared norms via a PER-DIMENSION
+    accumulation loop: G := G + x_d * y_d one dimension at a time in
+    f64, which reproduces the sequential left-to-right fold of
+    ``_dot``/``_norm`` BIT-EXACTLY (each product of two f32-valued
+    doubles is exact — 48-bit mantissa — and each += rounds once, in
+    the same order as the Catalyst fold). A plain ``X @ X.T`` would
+    use pairwise/blocked summation and could differ in the last ulp,
+    flipping threshold comparisons."""
+    import numpy as np
+
+    n, dim = X.shape
+    Gb = np.zeros((e - s, n))
+    nsq = np.zeros(n)
+    for d in range(dim):
+        c = X[:, d]
+        Gb += c[s:e, None] * c[None, :]
+        nsq += c * c
+    return Gb, nsq
+
+
+def _far_neighbor_kernel(threshold: float, dim: int):
+    """Grouped-map Arrow kernel for the SemDeDup ``centroid_far``
+    keeper: for one pairing group, each vector's (cs, id)-minimal
+    qualifying neighbor — min over neighbors b of the lexicographic
+    struct (cs_b, b), where cs is the per-vector rounded centroid
+    similarity computed upstream (carried in as a column). Same
+    bit-exact Gram accumulation as ``_min_neighbor_kernel``."""
+    import numpy as np
+    import pyarrow as pa
+
+    int_max = np.iinfo(np.int64).max
+
+    def fn(tbl):
+        n = tbl.num_rows
+        empty = pa.table({
+            "a": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.float64()),
+            "i": pa.array([], type=pa.int64()),
+        })
+        if n <= 1:
+            return empty
+        ids, X = _emb_matrix(tbl, dim)
+        cs = (
+            tbl.column("cs").combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        out_a, out_s, out_i = [], [], []
+        bs = 2048
+        for s0 in range(0, n, bs):
+            e0 = min(s0 + bs, n)
+            Gb, nsq = _seq_gram_block(X, s0, e0)
+            norms = np.sqrt(nsq)
+            denom = norms[s0:e0, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = Gb / denom
+            mask = (C >= threshold) | np.isnan(C)
+            rows = np.arange(s0, e0)
+            mask[rows - s0, rows] = False
+            has = mask.any(axis=1)
+            # Spark's struct-min orders NaN cs LARGEST; cosine is in
+            # [-1, 1] or NaN (never +-inf: a zero norm makes 0/0), so
+            # +inf is a safe NaN-is-largest ordering sentinel
+            cs_key = np.where(np.isnan(cs), np.inf, cs)
+            s_cand = np.where(mask, cs_key[None, :], np.inf)
+            m_s = s_cand.min(axis=1)
+            id_cand = np.where(
+                mask & (cs_key[None, :] == m_s[:, None]),
+                ids[None, :], int_max,
+            )
+            m_i = id_cand.min(axis=1)
+            # un-sentinel: an inf key means the chosen neighbor's cs
+            # was NaN (only possible when every masked cs is NaN)
+            m_s = np.where(np.isinf(m_s) & has, np.nan, m_s)
+            out_a.append(ids[s0:e0][has])
+            out_s.append(m_s[has])
+            out_i.append(m_i[has])
+        if not out_a:
+            return empty
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "s": pa.array(np.concatenate(out_s), type=pa.float64()),
+            "i": pa.array(np.concatenate(out_i), type=pa.int64()),
+        })
+
+    return fn
+
+
+def _min_neighbor_kernel(threshold: float, dim: int):
+    """Grouped-map Arrow kernel: for one LSH bucket, each vector's
+    LOWEST-id neighbor with cosine >= threshold (rows with no
+    qualifying neighbor emit nothing). Replaces the per-pair Catalyst
+    ``cosine_similarity_col`` fold (3 array folds + a zip_with
+    allocation per candidate pair — quadratic in bucket size) with one
+    NumPy Gram accumulation per bucket; bit-identical decisions (see
+    ``_seq_gram_block``; NaN cosines — zero-norm vectors — compare as
+    neighbors, matching Spark/DuckDB NaN-is-largest ordering)."""
+    import numpy as np
+    import pyarrow as pa
+
+    int_max = np.iinfo(np.int64).max
+
+    def fn(tbl):
+        n = tbl.num_rows
+        empty = pa.table({
+            "a": pa.array([], type=pa.int64()),
+            "nbr": pa.array([], type=pa.int64()),
+        })
+        if n <= 1:
+            return empty
+        ids, X = _emb_matrix(tbl, dim)
+        out_a = []
+        out_nbr = []
+        bs = 2048
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            Gb, nsq = _seq_gram_block(X, s, e)
+            norms = np.sqrt(nsq)
+            denom = norms[s:e, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = Gb / denom
+            mask = (C >= threshold) | np.isnan(C)
+            rows = np.arange(s, e)
+            mask[rows - s, rows] = False  # self is not a neighbor
+            cand = np.where(mask, ids[None, :], int_max)
+            nbr = cand.min(axis=1)
+            has = mask.any(axis=1)
+            out_a.append(ids[s:e][has])
+            out_nbr.append(nbr[has])
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        v = np.concatenate(out_nbr) if out_nbr else np.array([], np.int64)
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "nbr": pa.array(v, type=pa.int64())})
+
+    return fn
+
+
 def _dot(a, b):
     """Deterministic sequential dot product (left-to-right fold)."""
     return F.aggregate(
@@ -160,30 +312,26 @@ def embedding_dedup(
         # just as much as a derived one
         n_tables = tables_for_planes(n_planes)
     with_bucket = _with_table_buckets(embeddings, n_planes, dim, n_tables)
-    a = with_bucket.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
-        "tbl", "bucket",
-    )
-    b = with_bucket.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
-        "tbl", "bucket",
-    )
-    edges = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(cosine_similarity_col(F.col("ea"), F.col("eb")) >= threshold)
-        .select("a", "b")
+    # Per-bucket min-qualifying-neighbor in ONE grouped Arrow kernel
+    # (guide §4.2): the former a-join-b candidate join evaluated the
+    # cosine fold per pair — O(bucket^2) zip_with allocations + 3 array
+    # folds each, the dominant cost at scale — and then shuffled the
+    # symmetric edge list again for the keeper min. The kernel computes
+    # the same decisions from one per-dimension Gram accumulation
+    # (bit-identical f64 sequence, see _seq_gram_block) and emits one
+    # (a, nbr) row per vector that HAS a neighbor: the min over b of
+    # the symmetric edge set, fused into the bucket pass.
+    nbr_part = with_bucket.groupBy("tbl", "bucket").applyInArrow(
+        _min_neighbor_kernel(float(threshold), dim), "a long, nbr long"
     )
     if n_tables > 1:
-        # a pair colliding in several tables yields duplicate edges;
-        # they must not double-count in the keeper min (harmless) but
-        # would inflate the shuffle — dedup once, right after the
-        # cheap (a, b) projection
-        edges = edges.distinct()
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    nbr_min = sym.groupBy("a").agg(F.min("b").alias("nbr"))
+        # a vector appears once per table; its global nbr is the min
+        # over its per-table per-bucket minima
+        nbr_min = nbr_part.groupBy("a").agg(F.min("nbr").alias("nbr"))
+    else:
+        # single table: each vector lives in exactly one bucket, so
+        # the kernel output is already one row per vector
+        nbr_min = nbr_part
     # totalization reads the INPUT, not the bucket projection: listing
     # ids through with_bucket would re-evaluate n_tables*n_planes
     # hyperplane dot products per vector (plus a distinct shuffle of
@@ -733,38 +881,29 @@ def semdedup(
         )
         group_key = ["cluster", "sub", "chunk"]
     far = keep_policy == "centroid_far"
-    cs_a = [F.col("cs").alias("cs_a")] if far else []
-    cs_b = [F.col("cs").alias("cs_b")] if far else []
-    a = withv.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
-        *cs_a, *group_key,
-    )
-    b = withv.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
-        *cs_b, *group_key,
-    )
-    edges = (
-        a.join(b, group_key)
-        .filter(F.col("a") < F.col("b"))
-        .filter(
-            cosine_similarity_col(F.col("ea"), F.col("eb"))
-            >= threshold
-        )
-        .select("a", "b", *(["cs_a", "cs_b"] if far else []))
-    )
+    # Pairing via ONE grouped Arrow kernel per (cluster[, sub, chunk])
+    # group (guide §4.2): the former a-join-b within-group candidate
+    # join paid 3 Catalyst array folds + a zip_with allocation per
+    # pair, then re-shuffled the symmetric edge list for the keeper
+    # aggregate. The kernels compute the identical decisions from one
+    # per-dimension Gram accumulation per group (bit-identical f64
+    # sequence, see _seq_gram_block) and emit one row per vector that
+    # HAS a qualifying neighbor — the group key is the same
+    # (cluster, sub, chunk), so the pair count stays bounded by
+    # construction exactly as before.
     if far:
-        # each side learns the OTHER side's centroid similarity; the
-        # survivor of a family is its (cs, id)-minimal member
-        sym = edges.select("a", "b", "cs_b").unionByName(
-            edges.select(
-                F.col("b").alias("a"), F.col("a").alias("b"),
-                F.col("cs_a").alias("cs_b"),
+        # each vector learns its (cs, id)-minimal qualifying neighbor;
+        # the survivor of a family is its (cs, id)-minimal member
+        nbr_best = (
+            withv.groupBy(*group_key)
+            .applyInArrow(
+                _far_neighbor_kernel(float(threshold), dim),
+                "a long, s double, i long",
             )
-        )
-        nbr_best = sym.groupBy("a").agg(
-            F.min(
-                F.struct(F.col("cs_b").alias("s"), F.col("b").alias("i"))
-            ).alias("m")
+            .select(
+                "a",
+                F.struct(F.col("s"), F.col("i")).alias("m"),
+            )
         )
         own = F.struct(F.col("cs").alias("s"), F.col("vec_id").alias("i"))
         best = F.least(own, F.coalesce(F.col("m"), own))
@@ -777,10 +916,9 @@ def semdedup(
                 (best.getField("i") == F.col("vec_id")).alias("is_kept"),
             )
         )
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    nbr_min = withv.groupBy(*group_key).applyInArrow(
+        _min_neighbor_kernel(float(threshold), dim), "a long, nbr long"
     )
-    nbr_min = sym.groupBy("a").agg(F.min("b").alias("nbr"))
     return (
         assigned.join(nbr_min, assigned.vec_id == nbr_min.a, "left")
         .select(

@@ -942,6 +942,74 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _minhash_bands_arrow(
+    documents: DataFrame, n_seeds: int, n_bands: int, k: int
+) -> DataFrame:
+    """(doc_id, bands array<string>) via one mapInArrow pass — the
+    portable-hash (md5) MinHash signature computed per document in the
+    Python worker instead of explode + 8 Catalyst md5 calls per
+    shingle row + a groupBy shuffle of the hash strings (guide §4.2:
+    map-only, C-speed OpenSSL md5, zero exchanges).
+
+    Bit-identical to the Catalyst formulation: Python ``str.split(" ")``
+    matches Java ``Pattern.split`` (limit -1) for the literal
+    single-space pattern incl. leading/trailing empties; md5 runs over
+    the same UTF-8 bytes; the per-seed min is the same byte-wise
+    lexicographic min over lowercase hex strings; duplicate shingles
+    cannot change a min, so skipping array_distinct is value-neutral.
+    Docs that produce no shingle (null text or < k tokens) emit no row,
+    exactly like the groupBy over an empty explode."""
+    import pyarrow as pa
+
+    r = n_seeds // n_bands
+
+    def kernel(batches):
+        from hashlib import md5
+
+        bases = [md5(f"{s}:".encode()) for s in range(n_seeds)]
+        for tbl in batches:
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            out_ids: list = []
+            out_bands: list = []
+            join = " ".join
+            for doc_id, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                n = len(toks)
+                if n < k:
+                    continue
+                # compare raw digests: hex encoding is byte-order-
+                # preserving, so the min digest IS the min hex string
+                mins: list = [None] * n_seeds
+                for j in range(n - k + 1):
+                    sh = join(toks[j:j + k]).encode("utf-8")
+                    for s in range(n_seeds):
+                        d = bases[s].copy()
+                        d.update(sh)
+                        h = d.digest()
+                        if mins[s] is None or h < mins[s]:
+                            mins[s] = h
+                out_ids.append(doc_id)
+                hexes = [m.hex() for m in mins]
+                out_bands.append([
+                    md5("".join(hexes[b * r:(b + 1) * r]).encode())
+                    .hexdigest()
+                    for b in range(n_bands)
+                ])
+            yield pa.record_batch({
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "bands": pa.array(
+                    out_bands, type=pa.list_(pa.string())
+                ),
+            })
+
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).mapInArrow(kernel, "doc_id long, bands array<string>")
+
+
 def minhash_bands(
     documents: DataFrame, n_seeds: int = 8, k: int = 3,
     portable_hash: bool = True,
@@ -954,19 +1022,21 @@ def minhash_bands(
     ``portable_hash=False`` is the production path: xxhash64 (JVM
     intrinsic, no string materialization) — same algorithm, different
     hash family, ~2x cheaper per token at corpus scale."""
-    sh = shingle_table(documents, k)
     if portable_hash:
-        seed_hash = lambda s: F.md5(  # noqa: E731
-            F.concat(F.lit(f"{s}:"), F.col("shingle"))
+        # map-only Arrow kernel (see _minhash_bands_arrow): no explode,
+        # no groupBy shuffle, md5 at C speed — identical values
+        sig = _minhash_bands_arrow(documents, n_seeds, 2, k)
+        return sig.select(
+            "doc_id",
+            F.element_at("bands", 1).alias("band_a"),
+            F.element_at("bands", 2).alias("band_b"),
         )
-        band_hash = lambda cols: F.md5(F.concat(*cols))  # noqa: E731
-        cast = lambda c: c  # noqa: E731
-    else:
-        seed_hash = lambda s: F.xxhash64(  # noqa: E731
-            F.lit(f"{s}:"), F.col("shingle")
-        )
-        band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
-        cast = lambda c: c.cast("string")  # noqa: E731
+    sh = shingle_table(documents, k)
+    seed_hash = lambda s: F.xxhash64(  # noqa: E731
+        F.lit(f"{s}:"), F.col("shingle")
+    )
+    band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
+    cast = lambda c: c.cast("string")  # noqa: E731
     aggs = [F.min(seed_hash(s)).alias(f"m{s}") for s in range(n_seeds)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     half = n_seeds // 2
@@ -992,19 +1062,17 @@ def minhash_band_table(
     if n_seeds % n_bands != 0:
         raise ValueError("n_bands must divide n_seeds")
     r = n_seeds // n_bands
-    sh = shingle_table(documents, k)
     if portable_hash:
-        seed_hash = lambda s: F.md5(  # noqa: E731
-            F.concat(F.lit(f"{s}:"), F.col("shingle"))
-        )
-        band_hash = lambda cols: F.md5(F.concat(*cols))  # noqa: E731
-        cast = lambda c: c  # noqa: E731
-    else:
-        seed_hash = lambda s: F.xxhash64(  # noqa: E731
-            F.lit(f"{s}:"), F.col("shingle")
-        )
-        band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
-        cast = lambda c: c.cast("string")  # noqa: E731
+        # map-only Arrow kernel (see _minhash_bands_arrow): no explode,
+        # no groupBy shuffle, md5 at C speed — identical values
+        sig = _minhash_bands_arrow(documents, n_seeds, n_bands, k)
+        return sig.select("doc_id", F.explode("bands").alias("band"))
+    sh = shingle_table(documents, k)
+    seed_hash = lambda s: F.xxhash64(  # noqa: E731
+        F.lit(f"{s}:"), F.col("shingle")
+    )
+    band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
+    cast = lambda c: c.cast("string")  # noqa: E731
     aggs = [F.min(seed_hash(s)).alias(f"m{s}") for s in range(n_seeds)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     bands = F.array(*[
@@ -1277,43 +1345,88 @@ def minhash_dedup_best(
 
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash over tokens: per bit, sign of the sum of token
-    weights (+1/-1 per md5-derived bit). Pure Catalyst: explode tokens,
-    one groupBy with 64 conditional sums folded into a bit string.
+    weights (+1/-1 per md5-derived bit).
 
     Token bits come from the md5 hex digest (digit k, bit k%4) rather
     than xxhash64 so the exact same hash is computable in ANSI SQL —
-    the DuckDB oracle in __spark_entry__ mirrors it digit for digit."""
-    toks = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(tokens_col()).alias("tok"),
-    ).withColumn("h", F.md5("tok"))
-    # 16 hex-digit values (instr semantics identical across engines)
-    digit_cols = [
-        F.expr(
-            f"instr('0123456789abcdef', substr(h, {k + 1}, 1)) - 1"
-        ).alias(f"d{k}")
-        for k in range(16)
-    ]
-    toks = toks.select("doc_id", *digit_cols)
-    one = F.lit(1).cast("long")
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.col(f"d{b // 4}").bitwiseAND(F.lit(1 << (b % 4))) != 0, 1
-            ).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    # fold the 64 sign bits into a bigint (bit 63 lands in the sign bit)
-    expr = F.lit(0).cast("long")
-    for b in range(64):
-        expr = expr + F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(one, b)
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select(
-        F.col("doc_id").cast("long").alias("doc_id"), expr.alias("simhash")
-    )
+    the DuckDB oracle in __spark_entry__ mirrors it digit for digit.
+
+    Computed per document in ONE mapInArrow pass (guide §4.2): the
+    former Catalyst shape exploded every token and shuffled 16 digit
+    columns per token into a 64-conditional-sum groupBy; the kernel
+    hashes each DISTINCT token once per batch (md5 at C speed, Zipf
+    cache), accumulates the 64 per-bit counts in NumPy, and emits one
+    row per doc with zero exchanges. Bit-exact: the first 16 hex
+    digits map to bits via mask = int(hex[:16][::-1], 16) — digit k
+    contributes its 4 low bits at positions 4k..4k+3, exactly the
+    instr()-derived digit/bit layout — and ``bit set iff
+    sum(+-1) > 0`` is ``2 * ones > n_tokens``. A doc with null text
+    emits nothing (explode of a null array), matching the groupBy."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        from hashlib import md5
+
+        cache: dict = {}
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts)
+
+        def mask_of(tok: str):
+            m = cache.get(tok)
+            if m is None:
+                m = int(md5(tok.encode("utf-8")).hexdigest()[15::-1], 16)
+                cache[tok] = m
+            return m
+
+        def flush(out_ids, masks, starts, n_toks):
+            marr = np.array(masks, dtype=np.uint64)
+            bits = (
+                (marr[:, None] >> shifts[None, :]) & np.uint64(1)
+            ).astype(np.int32)
+            ones = np.add.reduceat(bits, np.array(starts), axis=0)
+            n = np.array(n_toks, dtype=np.int32)
+            set_bits = (2 * ones) > n[:, None]
+            sim = (set_bits.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            return pa.record_batch({
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "simhash": pa.array(sim, type=pa.int64()),
+            })
+
+        for tbl in batches:
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            out_ids: list = []
+            masks: list = []
+            starts: list = []
+            n_toks: list = []
+            got_any = False
+            for doc_id, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                out_ids.append(doc_id)
+                starts.append(len(masks))
+                n_toks.append(len(toks))
+                masks.extend(mask_of(tok) for tok in toks)
+                # bound the bit matrix: ~200k tokens x 64 x int32
+                if len(masks) >= 200_000:
+                    yield flush(out_ids, masks, starts, n_toks)
+                    got_any = True
+                    out_ids, masks, starts, n_toks = [], [], [], []
+            if out_ids:
+                yield flush(out_ids, masks, starts, n_toks)
+            elif not got_any:
+                yield pa.record_batch({
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "simhash": pa.array([], type=pa.int64()),
+                })
+
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).mapInArrow(kernel, "doc_id long, simhash long")
 
 
 def label_components(

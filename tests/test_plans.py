@@ -387,26 +387,30 @@ def test_schedule_fetches_plan_single_host_window(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_semdedup_bounded_pair_join_key(spark):
-    """The 100 TB SemDeDup guard: the candidate pair join keys on
-    (cluster, sub, chunk) — pair counts bounded by construction via
-    LSH sub-shards + hard chunking — and the corpus side never meets
-    itself in a cartesian. (The k-means assignment's broadcast of the
-    tiny centroid table is a BroadcastNestedLoop by design, so only
-    CartesianProduct is banned.)"""
+def test_semdedup_bounded_pair_group_key(spark):
+    """The 100 TB SemDeDup guard: pairing runs as ONE grouped Arrow
+    kernel per (cluster, sub, chunk) group — group sizes bounded by
+    construction via LSH sub-shards + hard chunking, so the kernel's
+    in-memory Gram block is bounded too — and the corpus side never
+    meets itself in a cartesian or a row-at-a-time Python eval. (The
+    k-means assignment's broadcast of the tiny centroid table is a
+    BroadcastNestedLoop by design, so only CartesianProduct is
+    banned.)"""
     import __spark_entry__ as e
 
     for q in ("emb_semdedup", "emb_semdedup_far"):
         plan = _plan(e.queries()[q](spark, SF))
         assert "CartesianProduct" not in plan
-        join_lines = [
-            ln for ln in plan.splitlines()
-            if "Join" in ln and "cluster" in ln
-            and "BroadcastNestedLoop" not in ln
-        ]
-        assert any(
-            "sub" in ln and "chunk" in ln for ln in join_lines
-        ), (q, join_lines)
+        assert "BatchEvalPython" not in plan  # no row-at-a-time UDFs
+        lines = plan.splitlines()
+        ok = False
+        for i, ln in enumerate(lines):
+            if "FlatMapGroupsInArrow" not in ln:
+                continue
+            blk = "\n".join(lines[i:i + 8])
+            if "cluster" in blk and "sub" in blk and "chunk" in blk:
+                ok = True
+        assert ok, (q, plan)
 
 
 def test_ivf_topk_plan_bucketed_no_cartesian(spark):
