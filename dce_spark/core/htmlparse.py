@@ -1151,10 +1151,17 @@ _TAG_RE = re.compile(
     # recovery instead.
     r"<(?:"
     r"(?P<end>/)?(?P<name>[a-zA-Z][^\t\n\x0c />\x00]*)"
+    # The unquoted-value '=' branch consumes ONLY the '=' (the
+    # lookahead skips whitespace without consuming it): whitespace
+    # after '=' is then consumed uniquely by the [^>\"'=] class, so a
+    # failing match (unpaired value quote) backtracks linearly.
+    # Consuming the whitespace in BOTH places made '= '*n inputs
+    # explore exponentially many parses — a ~120-byte corrupt tag
+    # could wedge an executor for minutes.
     r"(?P<attrs>(?:[^>\"'=]"
     r"|=[\t\n\x0c ]*\"[^\"]*\""
     r"|=[\t\n\x0c ]*'[^']*'"
-    r"|=[\t\n\x0c ]*(?![\"'])"
+    r"|=(?![\t\n\x0c ]*[\"'])"
     r"|[\"'])*)>"
     r"|(?P<comment>!--)"
     r"|(?P<decl>![^>]*)>"

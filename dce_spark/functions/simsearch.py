@@ -207,6 +207,12 @@ def brute_force_topk(
     """
     from pyspark.sql.window import Window
 
+    from dce_spark.functions.textops import ensure_scan_parallelism
+
+    # input-split guard: parallelize the per-candidate cosine folds
+    # when the scan is a single unsplittable partition (guide §2.5)
+    embeddings = ensure_scan_parallelism(embeddings, key="vec_id")
+
     if query_ids is not None:
         queries = embeddings.filter(F.col("vec_id").isin(query_ids))
     else:
@@ -251,6 +257,11 @@ def cosine_pairs_threshold(
 ) -> DataFrame:
     """Set-semantics variant (oracle-friendly: no rank instability):
     all (query, candidate) pairs with cosine >= threshold."""
+    from dce_spark.functions.textops import ensure_scan_parallelism
+
+    # input-split guard: parallelize the per-candidate cosine folds
+    # when the scan is a single unsplittable partition (guide §2.5)
+    embeddings = ensure_scan_parallelism(embeddings, key="vec_id")
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -398,6 +409,11 @@ def _with_table_buckets(
     """(vec_id, embedding, tbl, bucket) — one row per (vector, table).
     n_tables=1 keeps the original single-bucket projection (no explode)
     so pinned-plane plans and oracles are byte-identical to round 2."""
+    from dce_spark.functions.textops import ensure_scan_parallelism
+
+    embeddings = ensure_scan_parallelism(
+        embeddings.select("vec_id", "embedding"), key="vec_id"
+    )
     vid = F.col("vec_id").cast("long").alias("vec_id")
     if n_tables <= 1:
         return embeddings.select(
@@ -590,6 +606,9 @@ def _assign_join(em: DataFrame, centroids: list[list[int]]) -> DataFrame:
     j — ties to the LOWER cluster id), aggregated with map-side
     partials so the groupBy shuffles one row per vector. No encoding,
     no cap on k. Returns (vec_id, em, cluster)."""
+    from dce_spark.functions.textops import ensure_scan_parallelism
+
+    em = ensure_scan_parallelism(em, key="vec_id")
     cent = F.broadcast(_centroid_df(em.sparkSession, centroids))
     scored = em.crossJoin(cent).select(
         "vec_id", "em",
@@ -644,7 +663,85 @@ def _assign_arrow(em: DataFrame, centroids: list[list[int]]) -> DataFrame:
         StructField("em", ArrayType(LongType())),
         StructField("cluster", LongType()),
     ])
-    return em.mapInPandas(kernel, out_schema)
+    from dce_spark.functions.textops import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(em, key="vec_id").mapInPandas(
+        kernel, out_schema
+    )
+
+
+def _update_partials_arrow(em: DataFrame, centroids: list[list[int]]):
+    """Fused assignment + per-cluster coordinate partial sums for one
+    Lloyd update, as ONE map-only Arrow kernel: each batch computes the
+    exact-integer argmin assignment (|x|^2 - 2 X C^T + |c|^2, first
+    minimum = ties to the lower cluster id — the same decision as
+    ``_assign_join``/``_assign_arrow``) and emits at most k*dim partial
+    rows (cluster, pos, s, c). Replaces assignment -> full-corpus
+    struct-min shuffle -> posexplode of dim rows per vector -> hash
+    aggregate (guide §2.3: aggregate before you shuffle — the exchange
+    now carries k*dim-row partials per task instead of the corpus).
+    Integer sums are associative, so the reduced (s, c) are identical
+    under any partitioning."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.int64)
+    k, dim = C.shape
+    cn = (C * C).sum(axis=1)
+
+    def kernel(batches):
+        for tbl in batches:
+            n = tbl.num_rows
+            if not n:
+                continue
+            X = (
+                tbl.column("em").flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64).reshape(n, dim)
+            )
+            xn = (X * X).sum(axis=1)
+            d = xn[:, None] - 2 * (X @ C.T) + cn[None, :]
+            a = np.argmin(d, axis=1)
+            s = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(s, a, X)
+            c = np.bincount(a, minlength=k)
+            present = np.flatnonzero(c)
+            yield pa.record_batch({
+                "cluster": pa.array(
+                    np.repeat(present, dim), type=pa.int64()
+                ),
+                "pos": pa.array(
+                    np.tile(np.arange(dim), len(present)),
+                    type=pa.int32(),
+                ),
+                "s": pa.array(
+                    s[present].reshape(-1), type=pa.int64()
+                ),
+                "c": pa.array(
+                    np.repeat(c[present], dim).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            })
+
+    from dce_spark.functions.textops import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(
+        em.select("vec_id", "em"), key="vec_id"
+    ).select("em").mapInArrow(
+        kernel, "cluster long, pos int, s long, c long"
+    )
+
+
+def _pick_assign(assign_via: str, k: int):
+    """'join' (struct-min, pure Catalyst), 'arrow' (NumPy matmul), or
+    'auto': arrow above the k threshold where the broadcast-join path's
+    N*k row blowup stops being sane (a 50k-cluster caller must never
+    compile the 50 000x-row plan by default), join below it so small-k
+    plans stay Python-free. Both paths are bit-identical (pinned by
+    test_kmeans_assign_paths_identical)."""
+    if assign_via == "arrow" or (assign_via == "auto" and k >= 256):
+        return _assign_arrow
+    return _assign_join
 
 
 def kmeans_fit(
@@ -652,7 +749,7 @@ def kmeans_fit(
     k: int = 4,
     n_iters: int = 2,
     dim: int = 64,
-    assign_via: str = "join",
+    assign_via: str = "auto",
     sample_mod: int | None = None,
 ) -> list[list[int]]:
     """Fit Lloyd's k-means and return the FINAL centroids as k lists
@@ -698,14 +795,15 @@ def kmeans_fit(
         em_fit = em.filter(
             F.pmod(F.col("vec_id"), F.lit(int(sample_mod))) == 0
         )
-    assign = _assign_arrow if assign_via == "arrow" else _assign_join
     centroids = [list(r.em) for r in init]
     for _ in range(n_iters):
+        # fused assignment + k*dim-row partial sums per task (see
+        # _update_partials_arrow) — identical integer (s, c) to the
+        # former assignment -> posexplode -> groupBy chain
         sums = (
-            assign(em_fit, centroids)
-            .select("cluster", F.posexplode("em").alias("pos", "v"))
+            _update_partials_arrow(em_fit, centroids)
             .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
             .collect()
         )
         nxt: dict = {}
@@ -724,7 +822,7 @@ def kmeans_embeddings(
     k: int = 4,
     n_iters: int = 2,
     dim: int = 64,
-    assign_via: str = "join",
+    assign_via: str = "auto",
     sample_mod: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column — the clustering pass
@@ -736,7 +834,7 @@ def kmeans_embeddings(
     centroids = kmeans_fit(
         embeddings, k, n_iters, dim, assign_via, sample_mod
     )
-    assign = _assign_arrow if assign_via == "arrow" else _assign_join
+    assign = _pick_assign(assign_via, k)
     return assign(_quantize_embeddings(embeddings), centroids).select(
         "vec_id", F.col("cluster").cast("long")
     )
@@ -760,7 +858,7 @@ def semdedup(
     embeddings: DataFrame, k: int = 4, n_iters: int = 1, dim: int = 64,
     threshold: float = 0.95, max_cluster_size: int | None = None,
     sub_planes: int = 16, keep_policy: str = "min_id",
-    assign_via: str = "join", sample_mod: int | None = None,
+    assign_via: str = "auto", sample_mod: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means shards the
@@ -825,7 +923,7 @@ def semdedup(
     centroids = kmeans_fit(
         embeddings, k, n_iters, dim, assign_via, sample_mod
     )
-    assign = _assign_arrow if assign_via == "arrow" else _assign_join
+    assign = _pick_assign(assign_via, k)
     assigned = assign(
         _quantize_embeddings(embeddings), centroids
     ).select("vec_id", F.col("cluster").cast("long"))
@@ -943,7 +1041,7 @@ def ivf_topk(
     n_iters: int = 1,
     dim: int = 64,
     n_probes: int = 2,
-    assign_via: str = "join",
+    assign_via: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse k-means quantizer routes each
     candidate into ONE inverted list (its nearest centroid); a query
@@ -973,7 +1071,7 @@ def ivf_topk(
     centroids = kmeans_fit(
         embeddings, n_clusters, n_iters, dim, assign_via
     )
-    assign = _assign_arrow if assign_via == "arrow" else _assign_join
+    assign = _pick_assign(assign_via, n_clusters)
     em = _quantize_embeddings(embeddings)
     cands = (
         assign(em.filter(F.col("vec_id") >= n_queries), centroids)

@@ -37,6 +37,28 @@ def tokens_col(col="text"):
     return F.split(F.col(col), " ")
 
 
+def ensure_scan_parallelism(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Input-skew guard ahead of a compute-heavy Arrow kernel (guide
+    §2.5: one huge unsplittable file -> repartition right after the
+    read). A single-row-group parquet file yields a 1-partition scan,
+    which would serialize a map-only kernel no matter how many cores
+    the session has. When the scan has fewer partitions than the
+    session's default parallelism, hash-repartition on the row key up
+    to it (hash, not round-robin: deterministic placement under task
+    retry, no sort-before-repartition pass); with healthily split
+    inputs — the 100 TB layout — the condition is false and the plan
+    is untouched. Costs one exchange of exactly the columns the kernel
+    needs, which the caller has already projected (guide §2.3)."""
+    try:
+        n = df.rdd.getNumPartitions()
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if 0 < n < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact dedup: keep the smallest doc_id per identical text."""
     return (
@@ -156,6 +178,9 @@ def bloom_dedup(
 
 
 def token_count(documents: DataFrame) -> DataFrame:
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(tokens_col()).cast("long").alias("token_count"),
@@ -171,6 +196,9 @@ BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 def token_count_bpe(documents: DataFrame) -> DataFrame:
     """Subword-style token counting via regex pre-tokenization — the
     cheap cross-engine-deterministic stand-in for a real BPE pass."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0))
@@ -181,6 +209,9 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
 
 def quality_score(documents: DataFrame) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     toks = tokens_col()
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_tok = F.size(toks).cast("long")
@@ -212,6 +243,9 @@ def lang_distribution(documents: DataFrame) -> DataFrame:
 
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Exact-document fingerprint: md5 over the normalized text."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -230,6 +264,9 @@ def rolling_fingerprint(documents: DataFrame) -> DataFrame:
     chunk fingerprinting. Values stay < 2^31 so the fold arithmetic
     (< 2^36) is exact in 64-bit on any engine; the DuckDB oracle
     mirrors it with list_reduce."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     toks = tokens_col()
     m = F.lit(2147483647).cast("long")
     vals = F.transform(
@@ -249,6 +286,9 @@ def rolling_fingerprint(documents: DataFrame) -> DataFrame:
 
 def lang_id(documents: DataFrame) -> DataFrame:
     """Function-word-profile language ID (n-gram-heuristic family)."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     toks = tokens_col()
 
     def _contains(arr):
@@ -330,6 +370,9 @@ def gopher_quality(
     an alphabetic character, and a required minimum of canonical
     stopword hits. Emits the signals plus the combined keep flag — all
     pure Catalyst array expressions, one projection, no shuffle."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     n_words, mean_word_len, alpha_frac, stop_hits = _gopher_signal_cols()
     keep = (
         (n_words >= min_words)
@@ -353,74 +396,90 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token fraction and the
     share of the token stream covered by the most frequent 2-gram
     (ties broken by lexicographically smallest bigram, so the mode is
-    deterministic across engines). One explode + one groupBy, then the
-    per-doc mode via min(struct(-cnt, bigram)) — an aggregate with
-    map-side partials instead of a row_number window sort (highest
-    count, then smallest bigram, exactly the window's order); joins
-    back on doc_id."""
-    toks = tokens_col()
-    n_tok = F.size(toks).cast("long")
-    n_dist = F.size(F.array_distinct(toks)).cast("long")
-    base = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        n_tok.alias("n_tokens"),
-        (
-            F.lit(1.0) - n_dist.cast("double") / n_tok.cast("double")
-        ).alias("dup_token_frac"),
-        F.col("text"),
-    )
-    # stage the split once: the bigram expression references the token
-    # array three times, and an inlined split(text) would run per use
-    bigrams = (
-        base.select("doc_id", tokens_col().alias("_tk"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size("_tk") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_tk") - 1),
-                        lambda i: F.concat_ws(" ", F.slice("_tk", i, 2)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("bigram"),
-        )
-    )
-    counts = bigrams.groupBy("doc_id", "bigram").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    top = (
-        counts.groupBy("doc_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("cnt")).alias("neg"),
-                    F.col("bigram").alias("bigram"),
+    deterministic across engines). Every signal is per-document, so
+    the whole operator is ONE map-only Arrow kernel — no explode, no
+    aggregate shuffles (see the kernel comment below)."""
+    # One map-only Arrow kernel per document (guide §4.2): the former
+    # shape exploded every bigram and ran TWO aggregate shuffles
+    # (per-(doc, bigram) counts, then the per-doc struct-min mode);
+    # every signal here is per-document, so the kernel computes the
+    # identical values with zero exchanges. Bit-exact notes:
+    # dup_token_frac = 1.0 - n_dist/n_tok in the same f64 op order;
+    # the mode is min over (-count, bigram) — Python tuple min over
+    # (int, str) matches the struct-min, and Python str ordering
+    # equals Spark's UTF8String byte ordering because UTF-8 is
+    # code-point-order-preserving; top_bigram_frac = (cnt * 2.0) / n
+    # in the same op order (a null-text doc reproduces the Catalyst
+    # size(null) = -1 row: n_tokens -1, frac -0.0).
+    import pyarrow as pa
+
+    def kernel(batches):
+        for tbl in batches:
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            out = {
+                "doc_id": [], "n_tokens": [], "dup_token_frac": [],
+                "top_bigram": [], "top_bigram_cnt": [],
+                "top_bigram_frac": [],
+            }
+            for doc_id, t in zip(ids, texts):
+                if t is None:
+                    out["doc_id"].append(doc_id)
+                    out["n_tokens"].append(-1)
+                    out["dup_token_frac"].append(0.0)
+                    out["top_bigram"].append(None)
+                    out["top_bigram_cnt"].append(0)
+                    out["top_bigram_frac"].append(0.0 * 2.0 / -1.0)
+                    continue
+                toks = t.split(" ")
+                n = len(toks)
+                n_dist = len(set(toks))
+                counts: dict = {}
+                for a, b in zip(toks, toks[1:]):
+                    bg = a + " " + b
+                    counts[bg] = counts.get(bg, 0) + 1
+                if counts:
+                    neg, bg = min(
+                        (-c, g) for g, c in counts.items()
+                    )
+                    cnt = -neg
+                else:
+                    bg, cnt = None, 0
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["dup_token_frac"].append(
+                    1.0 - float(n_dist) / float(n)
                 )
-            ).alias("t")
+                out["top_bigram"].append(bg)
+                out["top_bigram_cnt"].append(cnt)
+                out["top_bigram_frac"].append(
+                    (float(cnt) * 2.0) / float(n)
+                )
+            yield pa.record_batch({
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+                "dup_token_frac": pa.array(
+                    out["dup_token_frac"], type=pa.float64()
+                ),
+                "top_bigram": pa.array(
+                    out["top_bigram"], type=pa.string()
+                ),
+                "top_bigram_cnt": pa.array(
+                    out["top_bigram_cnt"], type=pa.int64()
+                ),
+                "top_bigram_frac": pa.array(
+                    out["top_bigram_frac"], type=pa.float64()
+                ),
+            })
+
+    return ensure_scan_parallelism(
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
         )
-        .select(
-            "doc_id",
-            F.col("t.bigram").alias("top_bigram"),
-            (-F.col("t.neg")).cast("long").alias("top_bigram_cnt"),
-        )
-    )
-    return (
-        base.drop("text")
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "dup_token_frac",
-            "top_bigram",
-            F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("long")
-            .alias("top_bigram_cnt"),
-            (
-                F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("double")
-                * 2.0
-                / F.col("n_tokens").cast("double")
-            ).alias("top_bigram_frac"),
-        )
+    ).mapInArrow(
+        kernel,
+        "doc_id long, n_tokens long, dup_token_frac double,"
+        " top_bigram string, top_bigram_cnt long, top_bigram_frac double",
     )
 
 
@@ -519,6 +578,9 @@ def char_entropy(documents: DataFrame) -> DataFrame:
     eval with no subexpression reuse — measured ~40x slower.
     CollapseProject keeps the stages separate because each column is
     expensive and multiply-referenced."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     with_lower = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lower(F.col("text")).alias("_lt"),
@@ -608,6 +670,9 @@ def kmv_distinct_sketch(documents: DataFrame, k: int = 64) -> DataFrame:
     (union of sketches = sketch of union) -> map-side partials apply;
     the exact distinct rides along to show the estimation error.
     """
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     m = float(16**15)
     toks = documents.select(
         "source", F.explode(tokens_col()).alias("tok")
@@ -727,9 +792,11 @@ def decontaminate(
     bench_sh = (
         benchmark.select(F.explode(_shingles(k)).alias("shingle")).distinct()
     )
-    doc_sh = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(_shingles(k)).alias("shingle"),
+    # corpus-side shingles via the Arrow kernel (guide §4.2): the
+    # broadcast probe and the per-doc hit count are unchanged, only
+    # the shingle generation moves off the Catalyst transform chain
+    doc_sh = _doc_shingles_arrow(documents, k, with_source=False).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
@@ -764,6 +831,9 @@ def pii_redact(documents: DataFrame, text_col="text") -> DataFrame:
     shuffle, no Python). Redaction order is part of the contract:
     emails first (their local parts can contain digits), then IPs,
     then phones."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     text = F.col(text_col)
     counts = [
         F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
@@ -857,11 +927,66 @@ def _shingles(k: int = 3):
     )
 
 
+def _doc_shingles_arrow(
+    documents: DataFrame, k: int, with_source: bool = False
+) -> DataFrame:
+    """One (doc_id[, source], shingles array<string>) row per document
+    via mapInArrow — the per-doc distinct k-shingle list built in the
+    Python worker (C-speed split/join/dict) instead of the Catalyst
+    transform+slice+concat_ws+array_distinct chain (guide §4.2). The
+    array stays unexploded, so consumers that only need per-doc COUNTS
+    read ``size(shingles)`` map-only with no explode and no shuffle.
+
+    Bit-identical values: Python ``str.split(" ")`` matches Java
+    ``Pattern.split`` (limit -1) for the literal single-space pattern;
+    ``" ".join`` is concat_ws; dict.fromkeys preserves the
+    first-occurrence order of array_distinct; null text or < k tokens
+    yields an empty array exactly like the guarded sequence()."""
+    import pyarrow as pa
+
+    cols = [F.col("doc_id").cast("long").alias("doc_id")]
+    schema = "doc_id long"
+    if with_source:
+        cols.append(F.col("source"))
+        schema += ", source string"
+    cols.append(F.col("text"))
+    schema += ", shingles array<string>"
+
+    def kernel(batches):
+        for tbl in batches:
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            srcs = (
+                tbl.column("source").to_pylist() if with_source else None
+            )
+            join = " ".join
+            out: list = []
+            for t in texts:
+                if t is None:
+                    out.append([])
+                    continue
+                toks = t.split(" ")
+                n = len(toks)
+                if n < k:
+                    out.append([])
+                    continue
+                out.append(list(dict.fromkeys(
+                    join(toks[j:j + k]) for j in range(n - k + 1)
+                )))
+            data = {"doc_id": pa.array(ids, type=pa.int64())}
+            if with_source:
+                data["source"] = pa.array(srcs, type=pa.string())
+            data["shingles"] = pa.array(out, type=pa.list_(pa.string()))
+            yield pa.record_batch(data)
+
+    return ensure_scan_parallelism(
+        documents.select(*cols)
+    ).mapInArrow(kernel, schema)
+
+
 def shingle_table(documents: DataFrame, k: int = 3) -> DataFrame:
-    return documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("source"),
-        F.explode(_shingles(k)).alias("shingle"),
+    return _doc_shingles_arrow(documents, k, with_source=True).select(
+        "doc_id", "source", F.explode("shingles").alias("shingle")
     )
 
 
@@ -884,8 +1009,16 @@ def ngram_jaccard_pairs(
     to a shuffle join on the same (source, shingle) key the pair
     groupBy needs anyway.
     """
-    sh = shingle_table(documents, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    docsh = _doc_shingles_arrow(documents, k, with_source=True)
+    # per-doc distinct-shingle counts map-only off the unexploded
+    # array: the former sh.groupBy(doc_id) shuffled every shingle row
+    # just to count them (guide §2.4 — remove the exchange outright)
+    sizes = docsh.select(
+        "doc_id", F.size("shingles").cast("long").alias("sz")
+    ).filter(F.col("sz") > 0)
+    sh = docsh.select(
+        "doc_id", "source", F.explode("shingles").alias("shingle")
+    )
     hot = (
         sh.groupBy("source", "shingle")
         .agg(F.count("*").alias("df"))
@@ -1005,8 +1138,10 @@ def _minhash_bands_arrow(
                 ),
             })
 
-    return documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    return ensure_scan_parallelism(
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
     ).mapInArrow(kernel, "doc_id long, bands array<string>")
 
 
@@ -1149,38 +1284,68 @@ def dsir_weights(
     B = int(n_buckets)
 
     def feats(df: DataFrame) -> DataFrame:
-        t = df.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.split(F.col("text"), " ").alias("tk"),
-        )
-        grams = F.concat(
-            F.col("tk"),
-            F.expr(
-                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
-                " (x, i) -> concat(x, ' ', tk[i + 1]))"
-            ),
-        )
-        exploded = t.select("doc_id", F.explode(grams).alias("gram"))
-        return exploded.select(
-            "doc_id",
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{salt}:"), F.col("gram"))),
-                        1, 8,
-                    ),
-                    16, 10,
-                ).cast("long"),
-                F.lit(B),
-            ).alias("bucket"),
-        )
+        """(doc_id, bucket, c) — per-doc hashed-feature COUNTS via one
+        mapInArrow pass (guide §4.2 + §2.3 map-side pre-aggregation):
+        the former Catalyst shape exploded every unigram/bigram
+        occurrence and paid an md5 + base-16 conv per row; the kernel
+        hashes each distinct gram once per batch (C-speed md5, Zipf
+        cache) and emits per-(doc, bucket) counts, so every downstream
+        aggregate sums ``c`` instead of counting occurrence rows —
+        identical integers, far fewer rows through the exchanges."""
+        import pyarrow as pa
+
+        def kernel(batches):
+            from hashlib import md5
+
+            pre = f"{salt}:".encode()
+            cache: dict = {}
+
+            def bucket_of(g: str):
+                b = cache.get(g)
+                if b is None:
+                    h = md5(pre + g.encode("utf-8")).hexdigest()
+                    b = int(h[:8], 16) % B
+                    cache[g] = b
+                return b
+
+            for tbl in batches:
+                ids = tbl.column("doc_id").to_pylist()
+                texts = tbl.column("text").to_pylist()
+                out_id: list = []
+                out_b: list = []
+                out_c: list = []
+                for doc_id, t in zip(ids, texts):
+                    if t is None:
+                        continue
+                    toks = t.split(" ")
+                    counts: dict = {}
+                    for g in toks:
+                        b = bucket_of(g)
+                        counts[b] = counts.get(b, 0) + 1
+                    for a, b2 in zip(toks, toks[1:]):
+                        b = bucket_of(a + " " + b2)
+                        counts[b] = counts.get(b, 0) + 1
+                    out_id.extend([doc_id] * len(counts))
+                    out_b.extend(counts.keys())
+                    out_c.extend(counts.values())
+                yield pa.record_batch({
+                    "doc_id": pa.array(out_id, type=pa.int64()),
+                    "bucket": pa.array(out_b, type=pa.int64()),
+                    "c": pa.array(out_c, type=pa.int64()),
+                })
+
+        return ensure_scan_parallelism(
+            df.select(
+                F.col("doc_id").cast("long").alias("doc_id"), "text"
+            )
+        ).mapInArrow(kernel, "doc_id long, bucket long, c long")
 
     raw_feats = feats(raw)
     raw_cnt = raw_feats.groupBy("bucket").agg(
-        F.count("*").cast("long").alias("cnt_r")
+        F.sum("c").cast("long").alias("cnt_r")
     )
     tgt_cnt = feats(target).groupBy("bucket").agg(
-        F.count("*").cast("long").alias("cnt_t")
+        F.sum("c").cast("long").alias("cnt_t")
     )
     # raw docs only ever hit raw-side buckets, so the ratio domain is
     # the raw bucket table; totals ride a 1-row broadcast cross join
@@ -1208,8 +1373,9 @@ def dsir_weights(
         raw_feats.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("lr_micro").cast("long").alias("weight_micro"),
-            F.count("*").cast("long").alias("n_features"),
+            F.sum(F.col("c") * F.col("lr_micro")).cast("long")
+            .alias("weight_micro"),
+            F.sum("c").cast("long").alias("n_features"),
         )
     )
 
@@ -1424,8 +1590,10 @@ def simhash64(documents: DataFrame) -> DataFrame:
                     "simhash": pa.array([], type=pa.int64()),
                 })
 
-    return documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    return ensure_scan_parallelism(
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
     ).mapInArrow(kernel, "doc_id long, simhash long")
 
 
@@ -1564,6 +1732,9 @@ def line_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     line-keyed join exists. Total over the input: a document whose
     every line is owned elsewhere comes back with text_dedup = ''.
     """
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     lines = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -1686,6 +1857,9 @@ def linear_quality_score(
     Shape: one projection (no explode — the per-token work happens
     inside array transform/aggregate on the row), no shuffle, no
     Python. Empty documents score exactly bias/10."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     if weights is None:
         # stand-in weights in [-10, 10] tenths, fixed by bucket index
         weights = [((b * 37) % 21) - 10 for b in range(64)]
@@ -1777,13 +1951,48 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
     window keys. The threshold agg collects per-source doc scores
     (fine to ~10^8 docs/source); at 10^12 docs derive thresholds
     from a deterministic_sample (hash filter) — same query shape."""
-    toks = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "source",
-        F.explode(tokens_col()).alias("tok"),
-    )
+    # per-(doc, distinct token) COUNTS via one mapInArrow pass (guide
+    # §4.2 + §2.3): the former shape exploded every token occurrence
+    # twice (vocab branch + join-back branch) and shuffled the full
+    # occurrence stream through the (source, tok) join; pre-counting
+    # per doc ships one row per distinct token per doc instead, and
+    # every downstream aggregate sums ``c`` — identical integers.
+    import pyarrow as pa
+
+    def kernel(batches):
+        for tbl in batches:
+            ids = tbl.column("doc_id").to_pylist()
+            srcs = tbl.column("source").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            out_id: list = []
+            out_src: list = []
+            out_tok: list = []
+            out_c: list = []
+            for doc_id, src, t in zip(ids, srcs, texts):
+                if t is None:
+                    continue
+                counts: dict = {}
+                for g in t.split(" "):
+                    counts[g] = counts.get(g, 0) + 1
+                out_id.extend([doc_id] * len(counts))
+                out_src.extend([src] * len(counts))
+                out_tok.extend(counts.keys())
+                out_c.extend(counts.values())
+            yield pa.record_batch({
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "source": pa.array(out_src, type=pa.string()),
+                "tok": pa.array(out_tok, type=pa.string()),
+                "c": pa.array(out_c, type=pa.int64()),
+            })
+
+    toks = ensure_scan_parallelism(
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source", "text",
+        )
+    ).mapInArrow(kernel, "doc_id long, source string, tok string, c long")
     vocab = toks.groupBy("source", "tok").agg(
-        F.count("*").cast("long").alias("cnt")
+        F.sum("c").cast("long").alias("cnt")
     )
     # per-type fixed-point log2(cnt), computed once per vocab entry
     vocab = vocab.withColumn(
@@ -1800,8 +2009,9 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
         toks.join(vocab, ["source", "tok"])
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("lp_micro").cast("long").alias("_sum_lp"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lp_micro")).cast("long")
+            .alias("_sum_lp"),
         )
     )
     scored = per_doc.join(F.broadcast(totals), "source").select(
@@ -1871,7 +2081,11 @@ def dup_ngram_fraction(
     never by corpus-wide shingle popularity. Final left join for
     totality over input docs (docs shorter than k words have no
     shingles, frac 0)."""
-    sh = shingle_table(documents, k)
+    # no source column here: the df aggregate keys on the shingle
+    # alone, so projecting source out before the explode sheds bytes
+    # from the exchange (guide §2.3)
+    docsh = _doc_shingles_arrow(documents, k, with_source=False)
+    sh = docsh.select("doc_id", F.explode("shingles").alias("shingle"))
     uniq_per_doc = (
         sh.groupBy("shingle")
         .agg(
@@ -1882,9 +2096,14 @@ def dup_ngram_fraction(
         .groupBy(F.col("_owner").alias("doc_id"))
         .agg(F.count("*").cast("long").alias("_n_uniq"))
     )
+    # per-doc distinct-shingle counts map-only off the unexploded
+    # array (the former groupBy shuffled every shingle row to count
+    # them); docs with zero shingles surface as n_ngrams = 0 exactly
+    # like the missing-row + na.fill path did
     per_doc = (
-        sh.groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_ngrams"))
+        docsh.select(
+            "doc_id", F.size("shingles").cast("long").alias("n_ngrams")
+        )
         .join(uniq_per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -1948,6 +2167,9 @@ def c4_filter(documents: DataFrame, min_words: int = 5,
     alias instead of re-inlining the expression (CollapseProject
     keeps stages apart when a non-cheap alias is referenced more
     than once) — one lambda evaluation per row, not five."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     keep_line = lambda ln: (
         F.right(F.rtrim(ln), F.lit(1)).isin(*_C4_TERMINALS)
         & (F.size(F.split(F.trim(ln), " ")) >= F.lit(min_words))
@@ -2071,6 +2293,9 @@ def span_dedup(
     reassembles with sort_array — no windows anywhere. Total over
     input docs; a doc with fewer than n sentences has no spans and
     passes through unchanged."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     arr = F.split(F.col(text_col), r"[.!?] ")
     m = F.size(arr)
     span_struct = f"array<struct<pos:int,span:string>>"
@@ -2175,6 +2400,9 @@ def tfidf_keywords(
     keyword, so the hot keys never reach the join), then one per-doc
     top-k via sort+slice inside an aggregate — no Window, no global
     sort. Docs whose every token was df-capped yield no rows."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("tok"),
@@ -2253,6 +2481,9 @@ def chunk_documents(
     yields exactly one chunk equal to itself (empty text yields one
     empty chunk — totality over input rows). Deterministic chunk ids
     (doc_id, chunk_id ascending from 0)."""
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
@@ -2360,6 +2591,9 @@ def boilerplate_lines(
 
     Returns (doc_id, text_clean, n_lines, n_boiler).
     """
+    # input-split guard: parallelize the text-heavy work when
+    # the scan is a single unsplittable partition (guide §2.5)
+    documents = ensure_scan_parallelism(documents)
     lines = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col(host_col).alias("_host"),

@@ -450,3 +450,24 @@ def test_comment_end_edges_spec():
     assert texts("<body><!-- a --!><p>w") == ["w"]
     assert texts("<body><!-- a --!>tail<!-- b -->end") == ["tailend"]
     assert texts("<body><!-- unterminated x<p>q") == []
+
+
+def test_malformed_attr_equals_runs_parse_linear_time():
+    """Regression: the tokenizer's attrs grammar must not backtrack
+    exponentially on '=' + whitespace runs ending in an unpaired
+    value quote (a ~120-byte corrupt tag used to wedge parse_html for
+    minutes — a DoS in the extraction hot path). The unquoted-value
+    branch now consumes only the '=', so whitespace is consumed
+    uniquely by the junk-char class and a failing match backtracks
+    linearly; the slow-path recovery output is unchanged."""
+    import time
+
+    for n in (16, 64, 256):
+        html = "<p>hello</p><a " + "=  " * n + '="...'
+        t0 = time.time()
+        doc = parse_html(html)
+        assert time.time() - t0 < 2.0, n
+        texts = [
+            doc.text[i] for i in range(len(doc)) if doc.kind[i] == 1
+        ]
+        assert texts == ["hello"]
