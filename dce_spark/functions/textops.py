@@ -2549,15 +2549,25 @@ def boilerplate_lines(
     so page-specific text is never touched. Blank (whitespace-only)
     lines are paragraph STRUCTURE and always survive in place.
 
-    Plan shape: posexplode -> distinct(host, line, doc) with map-side
+    Plan shape: posexplode -> distinct(line-key, doc) with map-side
     partials (per-page repetition of a line collapses before the
-    shuffle) -> groupBy(host, line) count -> the boiler set joins back
-    MANY-TO-ONE on (host, line) (the build side is duplicate-free, so
+    shuffle) -> groupBy(line-key) count -> the boiler set joins back
+    MANY-TO-ONE on the line key (the build side is duplicate-free, so
     a Zipf-head banner fans out without blowup and the key carries the
     host, so a global banner spreads across host keys; AQE skew-join
     covers a mega-host) -> one groupBy(doc_id) reassembly with
     sort_array, no window anywhere. Total over the input: a page that
     is 100% template comes back with text_clean = ''.
+
+    The line key is ``xxhash64(host, line)`` — 8 bytes — so neither
+    the distinct/count aggregation nor the join-back shuffles raw
+    line text as a KEY; at corpus scale that is the difference between
+    exchanging the corpus bytes twice through wide string comparisons
+    and exchanging fixed-width ints (guide §2.3, §8: decide on a
+    lightweight proxy). Accepted 64-bit risk, documented: two distinct
+    lines of one host colliding could miscount or misstrip — at 10^12
+    lines the per-host birthday bound keeps this ~0, and no false
+    NEGATIVES exist (a boiler line always matches itself).
 
     Returns (doc_id, text_clean, n_lines, n_boiler).
     """
@@ -2568,18 +2578,18 @@ def boilerplate_lines(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col(host_col).alias("_host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
+    ).withColumn("_lh", F.xxhash64(F.col("_host"), F.col("line")))
     blank = F.trim(F.col("line")) == ""
     boiler = (
         lines.filter(~blank)
-        .select("_host", "line", "doc_id")
+        .select("_lh", "doc_id")
         .distinct()
-        .groupBy("_host", "line")
+        .groupBy("_lh")
         .agg(F.count("*").alias("_docs"))
         .filter(F.col("_docs") >= min_docs)
-        .select("_host", "line", F.lit(True).alias("_boiler"))
+        .select("_lh", F.lit(True).alias("_boiler"))
     )
-    marked = lines.join(boiler, ["_host", "line"], "left")
+    marked = lines.join(boiler, ["_lh"], "left")
     keep = blank | F.col("_boiler").isNull()
     return (
         marked.groupBy("doc_id")

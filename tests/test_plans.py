@@ -442,15 +442,22 @@ def test_ivf_topk_plan_bucketed_no_cartesian(spark):
 
 def test_boilerplate_strip_plan_no_window(spark):
     """Template-line removal is aggregates + ONE many-to-one join on
-    (host, line): no window anywhere (reassembly is collect_list +
-    array_sort inside the agg), no cartesian, line frequency counted
-    via distinct + count with map-side partials."""
+    the 8-byte xxhash64(host, line) key: no window anywhere
+    (reassembly is collect_list + array_sort inside the agg), no
+    cartesian, line frequency counted via distinct + count with
+    map-side partials, and no exchange or join keyed on the raw line
+    text (the shuffle carries fixed-width ints, not the corpus)."""
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["doc_boilerplate_strip"](spark, SF))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+    # the line-frequency aggregation and join key on the hash, never
+    # on the raw line string
+    assert "_lh" in plan
+    assert "hashpartitioning(_host" not in plan
+    assert "hashpartitioning(line" not in plan
 
 
 def test_split_assign_map_only(spark):

@@ -1881,3 +1881,30 @@ def test_boilerplate_lines_random_property(spark):
         assert r.n_lines == len(lines), d
         assert r.n_boiler == len(lines) - len(kept), d
         assert r.text_clean == "\n".join(kept), d
+
+
+def test_boilerplate_lines_wide_lines_hashed_key(spark):
+    """The (host, line) decision key is xxhash64-hashed, so the
+    aggregation/join exchanges carry 8-byte ints even when lines are
+    kilobytes wide; the strip decisions must be unchanged. Brute-force
+    reference computed in Python."""
+    from dce_spark.functions.textops import boilerplate_lines
+
+    wide = "banner " + "x" * 4096
+    rows = []
+    for d in range(4):
+        rows.append((d, "h1", f"{wide}\nunique body {d}\n\nfooter"))
+    rows.append((4, "h2", f"{wide}\nother host copy"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_lines(df, min_docs=3).collect()
+    }
+    # wide banner + footer stripped on h1 (>= 3 docs), body + blank kept
+    for d in range(4):
+        assert out[d].text_clean == f"unique body {d}\n", d
+        assert out[d].n_boiler == 2
+        assert out[d].n_lines == 4
+    # h2's single copy survives (per-host threshold)
+    assert out[4].text_clean == f"{wide}\nother host copy"
+    assert out[4].n_boiler == 0
