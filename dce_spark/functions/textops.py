@@ -1651,6 +1651,7 @@ def label_components(
         )
         stepped = labels.join(via_grp, "id", "left").select(
             "id",
+            F.col("lbl").alias("old"),
             F.least(
                 F.col("lbl"), F.coalesce(F.col("new_lbl"), F.col("lbl"))
             ).alias("lbl"),
@@ -1661,21 +1662,24 @@ def label_components(
         roots = stepped.select(
             F.col("id").alias("r_id"), F.col("lbl").alias("r_lbl")
         )
+        # the change flag rides INSIDE the checkpointed frame, so the
+        # convergence probe below is a filter over the fresh cache —
+        # the former separate jumped-join-labels count job (one more
+        # shuffle per round) is gone
         jumped = (
             stepped.join(roots, stepped.lbl == roots.r_id, "left")
             .select(
                 "id",
                 F.coalesce(F.col("r_lbl"), F.col("lbl")).alias("lbl"),
+                (
+                    F.coalesce(F.col("r_lbl"), F.col("lbl"))
+                    < F.col("old")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("lbl", "old"), "id")
-            .filter(F.col("lbl") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("chg")).limit(1).count()
+        labels = jumped.select("id", "lbl")
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("component"))

@@ -167,7 +167,10 @@ def iter_warc_records(raw, record_types=(b"response",)) -> Iterator[dict]:
     if isinstance(raw, (bytes, bytearray, memoryview)):
         raw = io.BytesIO(bytes(raw))
     buffered = io.BufferedReader(raw)
-    magic = buffered.peek(2)[:2]
+    try:
+        magic = buffered.peek(2)[:2]
+    except (OSError, EOFError):
+        return  # source truncated before a single byte decoded
     stream = (
         gzip.GzipFile(fileobj=buffered) if magic == b"\x1f\x8b" else buffered
     )
@@ -234,32 +237,234 @@ def _record_batches(
         yield rows
 
 
-def read_warc(spark, path: str, flush_bytes: int = DEFAULT_FLUSH_BYTES):
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def _verify_member_at(f, off: int, probe: int = 1 << 16) -> bool:
+    """True when ``off`` is a real gzip member start whose payload
+    begins with a WARC version line. A bare magic-byte hit inside
+    compressed data survives neither the zlib header parse nor the
+    WARC/ prefix check, so scanning + verification is framing-safe."""
+    import zlib
+
+    f.seek(off)
+    raw = f.read(probe)
+    try:
+        out = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(raw, 16)
+    except zlib.error:
+        return False
+    return out.startswith(b"WARC/")
+
+
+def _first_member_at_or_after(f, start: int, end: int) -> int | None:
+    """Absolute offset of the first VERIFIED gzip member starting in
+    [start, end), scanning the raw bytes windowed (1 MB + overlap) so
+    the scan itself is memory-bounded."""
+    win = 1 << 20
+    pos = start
+    while pos < end:
+        f.seek(pos)
+        buf = f.read(min(win + len(_GZ_MAGIC) - 1, end - pos + 2))
+        i = 0
+        while True:
+            i = buf.find(_GZ_MAGIC, i)
+            if i < 0 or pos + i >= end:
+                break
+            if _verify_member_at(f, pos + i):
+                return pos + i
+            i += 1
+        pos += win
+    return None
+
+
+class _MemberRangeStream(io.RawIOBase):
+    """Read-only stream of the DECOMPRESSED bytes of every gzip member
+    whose member START lies in [first, end) of file ``f`` (members are
+    back-to-back, so after the verified first boundary no scanning is
+    needed: each member's ``unused_data`` begins the next). A single-
+    stream gzip file is one giant member, so the chunk owning offset 0
+    degrades to decoding the whole file — streaming, never buffered.
+    Peak memory: one read block + zlib window + one decompressed
+    block."""
+
+    def __init__(self, f, first: int, end: int, block: int = 1 << 20):
+        import zlib
+
+        self._zlib = zlib
+        self._f = f
+        self._end = end
+        self._block = block
+        self._member_start = first
+        self._raw = b""  # undecoded tail carried between members
+        self._obj = None
+        self._eof = False
+        self._buf = b""
+        f.seek(first)
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        if not self._buf:
+            self._buf = self._read1()
+        n = min(len(self._buf), len(b))
+        b[:n] = self._buf[:n]
+        self._buf = self._buf[n:]
+        return n
+
+    def _read1(self) -> bytes:
+        z = self._zlib
+        while not self._eof:
+            if not self._raw:
+                self._raw = self._f.read(self._block)
+                if not self._raw:
+                    self._eof = True
+                    if self._obj is not None:
+                        # file ended inside a member: surface the
+                        # truncation the way GzipFile does, so the
+                        # record parser stops at the damage instead of
+                        # header-parsing a half-decompressed prefix
+                        raise EOFError(
+                            "gzip member truncated mid-stream"
+                        )
+                    break
+            if self._obj is None:
+                if self._member_start >= self._end:
+                    self._eof = True
+                    break
+                self._obj = z.decompressobj(16 + z.MAX_WBITS)
+            try:
+                out = self._obj.decompress(self._raw)
+            except z.error as exc:
+                self._eof = True  # corrupt member: stop at the damage
+                raise OSError(str(exc))
+            if self._obj.eof:
+                tail = self._obj.unused_data
+                # next member starts where this one's bytes ended
+                self._member_start = (
+                    self._f.tell() - len(tail)
+                )
+                self._raw = tail
+                self._obj = None
+            else:
+                self._raw = b""
+            if out:
+                return out
+        return b""
+
+
+def _open_local(path: str):
+    """Binary file handle for a local path / file: URI; None when the
+    scheme is non-local (caller falls back to the buffered source)."""
+    from urllib.parse import urlparse, unquote
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        p = unquote(u.path) if u.scheme == "file" else path
+        return open(p, "rb")
+    return None
+
+
+def read_warc(
+    spark, path: str, flush_bytes: int = DEFAULT_FLUSH_BYTES,
+    chunk_bytes: int = 64 << 20,
+):
     """WARC archive(s) -> pages DataFrame (url, warc_ts, html, text,
-    lang) via binaryFile scan + Arrow-batched streaming record parsing.
+    lang) via a RANGE-CHUNKED scan + Arrow-batched streaming record
+    parsing.
+
+    Peak task memory is bounded by the flush budget + fixed streaming
+    buffers, independent of archive size: the scan lists (path, length)
+    only — never the file contents — and each task owns the byte range
+    [start, start + chunk_bytes) of one archive. Common-Crawl
+    ``.warc.gz`` archives are one gzip member per record, so a task
+    scans for the first VERIFIED member boundary in its range (magic
+    bytes + zlib header + decompressed ``WARC/`` prefix — false
+    positives are rejected) and streams members whose start lies in
+    the range; a single-stream ``.gz`` or plain ``.warc`` file cannot
+    be split safely, so the range at offset 0 streams the whole file
+    (still through a file handle, never a whole-file buffer) and the
+    other ranges find no owned boundary and emit nothing. Non-local
+    URI schemes fall back to buffering one archive per task (the old
+    binaryFile behavior, minus the listing).
 
     ``flush_bytes`` bounds the parser's in-flight row buffer per task
     (see module doc); the downstream extraction kernel re-chunks by its
     own byte budget, so the two bounds compose.
     """
     import pandas as pd
+    from pyspark.sql import functions as F
 
     from dce_spark.spark.schema import PAGES_SCHEMA
 
-    files = spark.read.format("binaryFile").load(path).select(
-        "path", "content"
+    meta = spark.read.format("binaryFile").load(path).select(
+        "path", "length"
+    )
+    cb = int(chunk_bytes)
+    chunks = meta.select(
+        "path",
+        "length",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.greatest(F.col("length"), F.lit(1)) - 1) / cb),
+            )
+        ).alias("ci"),
+    ).select(
+        "path",
+        (F.col("ci") * cb).alias("start"),
+        F.least((F.col("ci") + 1) * cb, F.col("length")).alias("end"),
+    )
+    # the chunk PLAN is tiny (one row per range) and comes out of the
+    # listing as a handful of partitions; spread the ranges so each
+    # task owns ~one range of ~chunk_bytes of real work. The partition
+    # count is explicit — AQE would otherwise coalesce the few-KB plan
+    # rows into one partition, serializing the (heavy, kernel-side)
+    # range reads it cannot see.
+    chunks = chunks.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.col("path"), F.col("start"),
     )
     cols = ["url", "warc_ts", "html", "text", "lang"]
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for rec in pdf.itertuples(index=False):
-                for rows in _record_batches(
-                    io.BytesIO(bytes(rec.content)), flush_bytes
-                ):
-                    yield pd.DataFrame(rows, columns=cols)
+                start, end = int(rec.start), int(rec.end)
+                f = _open_local(rec.path)
+                if f is None:
+                    # matches the WET sink's documented local/shared-
+                    # filesystem posture: route object-store paths
+                    # through a mount or an fsspec localization step
+                    raise NotImplementedError(
+                        "non-local WARC paths need a filesystem "
+                        "mount; localize the archives first"
+                    )
+                with f:
+                    head = f.read(len(_GZ_MAGIC))
+                    is_gz_member = head == _GZ_MAGIC
+                    if not is_gz_member:
+                        # plain .warc (or foreign compression): not
+                        # splittable — the offset-0 range streams the
+                        # whole file, others own nothing
+                        if start != 0:
+                            continue
+                        f.seek(0)
+                        stream = f
+                    else:
+                        first = (
+                            0 if start == 0
+                            else _first_member_at_or_after(f, start, end)
+                        )
+                        if first is None:
+                            continue
+                        stream = io.BufferedReader(
+                            _MemberRangeStream(f, first, end)
+                        )
+                    for rows in _record_batches(stream, flush_bytes):
+                        yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(kernel, PAGES_SCHEMA)
+    return chunks.mapInPandas(kernel, PAGES_SCHEMA)
 
 
 # ---------------------------------------------------------------------
@@ -314,6 +519,14 @@ def write_wet_shards(
     manifests. At 10^12 rows this is the WET-publishing job: shard
     count = partition count, each task owns one archive, no shuffle
     beyond the caller's partitioning.
+
+    Filesystem posture (matches ``read_warc``): shards are written
+    with plain ``open``/``gzip.open`` on each EXECUTOR, so ``out_dir``
+    must be a shared filesystem visible to the driver and every
+    executor (local mode, NFS, or a mounted object store) — on a
+    cluster with executor-local disks the manifest would point at
+    per-node files the driver cannot see. Route object-store targets
+    through a mount or publish via a Hadoop-FS/fsspec sink instead.
     """
     import os
 

@@ -378,3 +378,66 @@ def test_wet_truncated_archive_total(tmp_path):
     ]
     for i, r in enumerate(got[:-1]):
         assert r["html"] == f"payload {i}".encode()
+
+
+def test_read_warc_range_chunked_parity_and_split(spark, tmp_path):
+    """The range-chunked reader (VERDICT r6 item: bound input memory by
+    range, not archive size) must (a) return exactly the rows a whole-
+    file parse returns on a many-member .warc.gz even when chunk_bytes
+    is far smaller than the archive — members spanning chunk
+    boundaries are owned by exactly one range, none duplicated or
+    dropped; (b) actually split the work across several range tasks;
+    (c) degrade to a whole-file stream for single-stream gzip and
+    plain .warc inputs."""
+    from dce_spark.spark.warc import read_warc
+
+    n = 60
+    body = b"<html><body><p>" + b"payload " * 300 + b"</p></body></html>"
+    records = [
+        make_record(f"https://c.test/{i}", body + str(i).encode())
+        for i in range(n)
+    ]
+    member_gz = tmp_path / "members.warc.gz"
+    member_gz.write_bytes(b"".join(gzip.compress(r) for r in records))
+    single_gz = tmp_path / "single.warc.gz"
+    single_gz.write_bytes(gzip.compress(b"".join(records)))
+    plain = tmp_path / "plain.warc"
+    plain.write_bytes(b"".join(records))
+
+    expected = sorted(f"https://c.test/{i}" for i in range(n))
+    size = member_gz.stat().st_size
+    chunk = max(size // 7, 1024)  # force ~7 ranges
+    for p in (member_gz, single_gz, plain):
+        out = read_warc(spark, str(p), chunk_bytes=chunk).select(
+            "url"
+        ).collect()
+        assert sorted(r.url for r in out) == expected, p.name
+
+    # the member archive's rows must come from MULTIPLE range tasks
+    from pyspark.sql import functions as F
+
+    parts = (
+        read_warc(spark, str(member_gz), chunk_bytes=chunk)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1, "range chunking did not split the archive"
+
+
+def test_read_warc_range_chunked_truncated_member_total(spark, tmp_path):
+    """A member cut mid-stream costs its own rows only: earlier
+    members in every range still parse (totality, as before)."""
+    from dce_spark.spark.warc import read_warc
+
+    body = b"<html><body>" + b"x" * 2000 + b"</body></html>"
+    members = [
+        gzip.compress(make_record(f"https://t.test/{i}", body))
+        for i in range(10)
+    ]
+    members[-1] = members[-1][: len(members[-1]) // 2]  # truncate last
+    p = tmp_path / "trunc.warc.gz"
+    p.write_bytes(b"".join(members))
+    out = read_warc(spark, str(p), chunk_bytes=1500).select("url").collect()
+    urls = sorted(r.url for r in out)
+    assert urls == sorted(f"https://t.test/{i}" for i in range(9))
