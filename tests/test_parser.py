@@ -471,3 +471,18 @@ def test_malformed_attr_equals_runs_parse_linear_time():
             doc.text[i] for i in range(len(doc)) if doc.kind[i] == 1
         ]
         assert texts == ["hello"]
+
+
+def test_eof_tag_fragment_strip_rcdata_divergence_pinned():
+    """Accepted tradeoff, pinned: _strip_eof_tag_fragment drops a
+    '<'+alpha tail after the document's last '>', even when that tail
+    is RCDATA content of an unterminated element — the spec (and
+    html5lib) would keep '<y' as character data of the open <title>.
+    The pre-pass guards the common truncated-page case (a page cut
+    mid-tag) and only ever loses bytes at EOF of an already-truncated
+    document; full RCDATA-state tracking in a pre-tokenizer pass would
+    re-implement half the tokenizer for that tail. Documented loss:
+    the fragment after the last '<' is dropped."""
+    doc = parse_html("<p>keep</p><title>A < B and x<y")
+    texts = [doc.text[i] for i in range(len(doc)) if doc.kind[i] == 1]
+    assert texts == ["keep", "A < B and x"]
