@@ -98,11 +98,17 @@ def curate_corpus(
     mean by "near-dedup"."""
     base = documents.withColumn("doc_id", F.col("doc_id").cast("long"))
 
-    def _cut(frontier, prev=None):
-        out = frontier.localCheckpoint(eager=True)
-        if prev is not None:
-            prev.unpersist()
-        return out
+    def _cut(frontier):
+        # LAZY local checkpoint: lineage is truncated and the frontier
+        # cached at its first use, fused into that consumer's job —
+        # an eager cut here was measured to cost one extra scheduled
+        # job per stage for the same materialization. Frontiers stay
+        # cached for the query's lifetime (no unpersist: releasing a
+        # lazily-checkpointed parent before its child materializes
+        # would drop blocks lineage can no longer rebuild). A cluster
+        # job at 100 TB would checkpoint survivors to the warehouse
+        # instead (same cut, durable + spillable).
+        return frontier.localCheckpoint(eager=False)
 
     if urls is not None:
         surviving = urls.withColumn(
@@ -170,24 +176,18 @@ def curate_corpus(
     # Each corpus-relative gate references the survivor frame several
     # times (shingle side + totalization + the semi-join back), and
     # Spark recomputes the full upstream lineage per reference — the
-    # minhash subtree would re-run 2^stages times. Materializing the
-    # survivor frontier between gates (eager localCheckpoint via _cut,
-    # the same cut label_components uses) bounds that to once per
-    # stage, and unpersisting the superseded frontier keeps exactly
-    # ONE cached copy of the surviving text alive instead of one per
-    # gate. A cluster job at 100 TB would checkpoint the survivors
-    # to the warehouse instead (same cut, durable + spillable).
-    prev = g3
+    # minhash subtree would re-run 2^stages times. Checkpointing the
+    # survivor frontier between gates (via _cut, the same cut
+    # label_components uses) bounds that to once per stage.
 
     if max_dup_ngram_frac is not None:
         dup = dup_ngram_fraction(g3, k=dup_k,
                                  threshold=max_dup_ngram_frac)
-        g3 = prev = _cut(
+        g3 = _cut(
             g3.join(
                 dup.filter(~F.col("flagged")).select("doc_id"),
                 "doc_id", "semi",
-            ),
-            prev,
+            )
         )
 
     if drop_tail_bucket:
@@ -196,8 +196,7 @@ def curate_corpus(
             g3.join(
                 ce.filter(F.col("bucket") != "tail").select("doc_id"),
                 "doc_id", "semi",
-            ),
-            prev,
+            )
         )
 
     # decontamination: drop survivors sharing any k-gram with the

@@ -121,8 +121,11 @@ def host_pagerank(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # lazy checkpoint: materialization fuses into the next
+        # consumer (the delta probe, or the next iteration's join)
+        # instead of costing a scheduled job per iteration
         if converge:
             delta = (
                 new_ranks.withColumnRenamed("r", "rn")
@@ -130,10 +133,12 @@ def host_pagerank(
                 .agg(F.max(F.abs(F.col("rn") - F.col("ro"))))
                 .first()[0]
             )
-        # the superseded rank checkpoint is dead once the new one is
-        # materialized — release its block-manager storage
-        if prev is not None:
-            prev.unpersist()
+            # the probe materialized new_ranks, so the superseded
+            # checkpoint is safe to release (a lazily-checkpointed
+            # child must never outlive an unpersisted parent, so the
+            # fixed-iteration path keeps its K tiny rank tables)
+            if prev is not None:
+                prev.unpersist()
         ranks, prev = new_ranks, new_ranks
         if converge and (delta is None or delta <= epsilon_micro):
             break

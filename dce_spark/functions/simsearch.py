@@ -950,28 +950,47 @@ def semdedup(
         cap = int(max_cluster_size)
         if cap < 1:
             raise ValueError("max_cluster_size must be >= 1")
-        sizes = assigned.groupBy("cluster").agg(
-            F.count("*").alias("cnt")
-        ).collect()  # k rows — control-plane scalar, like the centroids
-        masks = [
-            (int(r.cluster), (1 << split_bits(int(r.cnt), cap,
-                                              sub_planes)) - 1)
-            for r in sizes
-        ]
-        if any(m for _, m in masks):
-            info = F.broadcast(
-                withv.sparkSession.createDataFrame(
-                    masks, "cluster long, mask long"
-                )
+        # (cluster -> mask) derived IN-PLAN from a broadcast size
+        # aggregate — split_bits' integer-derived formula is float-
+        # safe in SQL (see its docstring; the DuckDB oracle computes
+        # the identical expression), so the former sizes.collect()
+        # control-plane job disappears and the mask table rides the
+        # one query plan. mask = 2^min(max_bits, ceil(log2(
+        # (cnt-1) div cap + 1))) - 1 for oversize clusters, else 0.
+        bits = F.when(
+            F.col("cnt") <= cap, F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(int(sub_planes)).cast("long"),
+                F.ceil(
+                    F.log2(F.expr(f"(cnt - 1) div {cap}") + 1)
+                ),
             )
-            withv = withv.join(info, "cluster", "left").withColumn(
-                "sub",
+        ).cast("int")
+        info = F.broadcast(
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("cnt"))
+            .select("cluster", bits.alias("_bits"))
+            .select(
+                "cluster",
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(_bits as int))"
+                    " - 1"
+                ).alias("mask"),
+            )
+        )
+        # mask == 0 (the common case: cluster under the cap) short-
+        # circuits the sub-bucket hyperplane evaluation per row
+        withv = withv.join(info, "cluster", "left").withColumn(
+            "sub",
+            F.when(
+                F.coalesce("mask", F.lit(0)) == 0, F.lit(0).cast("long")
+            ).otherwise(
                 lsh_bucket_col(
                     F.col("embedding"), sub_planes, dim, table=1
-                ).bitwiseAND(F.coalesce("mask", F.lit(0))),
-            ).drop("mask")
-        else:
-            withv = withv.withColumn("sub", F.lit(0).cast("long"))
+                ).bitwiseAND(F.coalesce("mask", F.lit(0)))
+            ),
+        ).drop("mask")
         w = Window.partitionBy("cluster", "sub").orderBy("vec_id")
         withv = withv.withColumn(
             "chunk",

@@ -1634,10 +1634,13 @@ def label_components(
         F.col(membership.columns[0]).cast("long").alias("id"),
         F.col(membership.columns[1]).alias("grp"),
     ).distinct()
-    memb = memb.localCheckpoint(eager=True)
+    # lazy cuts: materialization fuses into the first consumer's job
+    # (the convergence count below) instead of costing a scheduled
+    # job per round
+    memb = memb.localCheckpoint(eager=False)
     labels = memb.select("id").distinct().select(
         "id", F.col("id").alias("lbl")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         grp_min = (
             memb.join(labels, "id")
@@ -1676,7 +1679,7 @@ def label_components(
                     < F.col("old")
                 ).alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = jumped.filter(F.col("chg")).limit(1).count()
         labels = jumped.select("id", "lbl")
