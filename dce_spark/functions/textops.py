@@ -71,6 +71,19 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+# Worker-resident hash caches for the Arrow kernels. Module-level on
+# purpose: with spark.python.worker.reuse (the default) a worker
+# process survives across tasks, so Zipf-repeated shingles/tokens/
+# grams hash ONCE per worker instead of once per occurrence (the
+# bench corpus measures ~93%% duplicate 3-shingles; real crawls are
+# also heavily Zipf). Bounded: cleared wholesale past the cap —
+# deterministic values, so eviction can never change a result.
+_MINHASH_SIG_CACHE: dict = {}
+_SIMHASH_MASK_CACHE: dict = {}
+_DSIR_BUCKET_CACHE: dict = {}
+_HASH_CACHE_MAX = 1_000_000
+
+
 _BLOOM_BITS_PER_WORD = 63  # bits 0..62 only: bit 63 is the BIGINT
 # sign bit, and arithmetic-shift semantics on negative values differ
 # subtly across engines — wasting one bit per word buys bit-exact
@@ -1105,6 +1118,7 @@ def _minhash_bands_arrow(
         from hashlib import md5
 
         bases = [md5(f"{s}:".encode()) for s in range(n_seeds)]
+        cache = _MINHASH_SIG_CACHE.setdefault(n_seeds, {})
         for tbl in batches:
             ids = tbl.column("doc_id").to_pylist()
             texts = tbl.column("text").to_pylist()
@@ -1122,11 +1136,20 @@ def _minhash_bands_arrow(
                 # preserving, so the min digest IS the min hex string
                 mins: list = [None] * n_seeds
                 for j in range(n - k + 1):
-                    sh = join(toks[j:j + k]).encode("utf-8")
+                    sh = join(toks[j:j + k])
+                    digs = cache.get(sh)
+                    if digs is None:
+                        if len(cache) > _HASH_CACHE_MAX:
+                            cache.clear()
+                        b = sh.encode("utf-8")
+                        digs = []
+                        for s in range(n_seeds):
+                            d = bases[s].copy()
+                            d.update(b)
+                            digs.append(d.digest())
+                        cache[sh] = digs
                     for s in range(n_seeds):
-                        d = bases[s].copy()
-                        d.update(sh)
-                        h = d.digest()
+                        h = digs[s]
                         if mins[s] is None or h < mins[s]:
                             mins[s] = h
                 out_ids.append(doc_id)
@@ -1303,11 +1326,13 @@ def dsir_weights(
             from hashlib import md5
 
             pre = f"{salt}:".encode()
-            cache: dict = {}
+            cache = _DSIR_BUCKET_CACHE.setdefault((salt, B), {})
 
             def bucket_of(g: str):
                 b = cache.get(g)
                 if b is None:
+                    if len(cache) > _HASH_CACHE_MAX:
+                        cache.clear()
                     h = md5(pre + g.encode("utf-8")).hexdigest()
                     b = int(h[:8], 16) % B
                     cache[g] = b
@@ -1539,13 +1564,15 @@ def simhash64(documents: DataFrame) -> DataFrame:
     def kernel(batches):
         from hashlib import md5
 
-        cache: dict = {}
+        cache = _SIMHASH_MASK_CACHE  # worker-resident, see above
         shifts = np.arange(64, dtype=np.uint64)
         weights = (np.uint64(1) << shifts)
 
         def mask_of(tok: str):
             m = cache.get(tok)
             if m is None:
+                if len(cache) > _HASH_CACHE_MAX:
+                    cache.clear()
                 m = int(md5(tok.encode("utf-8")).hexdigest()[15::-1], 16)
                 cache[tok] = m
             return m
