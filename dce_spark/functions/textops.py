@@ -1771,9 +1771,6 @@ def line_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     line-keyed join exists. Total over the input: a document whose
     every line is owned elsewhere comes back with text_dedup = ''.
     """
-    # input-split guard: parallelize the text-heavy work when
-    # the scan is a single unsplittable partition (guide §2.5)
-    documents = ensure_scan_parallelism(documents)
     lines = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
