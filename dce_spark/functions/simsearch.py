@@ -1,14 +1,17 @@
 """Similarity search over an embedding column (array<float/double>).
 
-Two paths, both pure Catalyst:
+Two candidate-generation paths:
 
 * Brute-force cosine: zip_with product + sequential aggregate fold
   (deterministic left-to-right f64 summation — matters for oracle
   parity AND for reproducible thresholds across engines);
 * LSH-bucketed: deterministic integer hyperplanes (no RNG) bucket
-  vectors by sign pattern; candidate pairs share a bucket, exact
-  cosine is computed only within buckets. At 10^12 scale the bucket
-  join replaces the O(N*Q) crossJoin with a shuffle on bucket id.
+  vectors by sign pattern; candidates share a bucket, and the exact
+  within-bucket decisions run in a grouped Arrow kernel whose NumPy
+  Gram accumulation reproduces the Catalyst fold bit-for-bit (see
+  _seq_gram_block). At 10^12 scale the bucket grouping replaces the
+  O(N*Q) crossJoin with one shuffle on bucket id, and per-bucket cost
+  is one matmul instead of a fold per pair.
 """
 
 from __future__ import annotations
@@ -290,10 +293,10 @@ def embedding_dedup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup decision.
 
-    LSH buckets generate the candidate pairs (equi-join on
-    (table, bucket) id — no crossJoin anywhere), exact cosine filters
-    them, and each vector keeps the smallest vec_id among itself and
-    its >= threshold neighbors — the same single-pass keeper rule as
+    LSH buckets generate the candidates (grouped on (table, bucket)
+    id — no crossJoin anywhere), an exact-cosine Arrow kernel decides
+    within each bucket, and each vector keeps the smallest vec_id
+    among itself and its >= threshold neighbors — the same single-pass keeper rule as
     minhash_dedup (a transitive closure would need iteration; one pass
     is the standard streaming-friendly decision). The output is TOTAL
     over the input: vectors with no qualifying neighbors keep
